@@ -1,0 +1,113 @@
+"""Default configuration tree.
+
+Schema-compatible with the reference defaults (jarvis/config/config.py:12-99)
+so that existing JARVIS project ``config.yaml`` files merge cleanly. New
+TPU-specific knobs live under the ``TPU`` section and are all optional.
+"""
+
+from .cfg_node import CfgNode
+
+
+def get_default_cfg() -> CfgNode:
+    c = CfgNode()
+
+    # General
+    c.PROJECTS_ROOT_PATH = "projects"
+    c.PROJECT_NAME = None
+    c.DATALOADER_NUM_WORKERS = 8
+    c.PARENT_DIR = ""
+
+    c.KEYPOINT_NAMES = []
+    c.SKELETON = []
+
+    # Dataset (reference: jarvis/config/config.py:23-31)
+    c.DATASET = CfgNode()
+    c.DATASET.DATASET_ROOT_DIR = "datasets"
+    c.DATASET.DATASET_2D = None
+    c.DATASET.DATASET_3D = None
+    c.DATASET.TRAIN_SET = "train"
+    c.DATASET.VAL_SET = "val"
+    c.DATASET.MEAN = [0.485, 0.456, 0.406]
+    c.DATASET.STD = [0.229, 0.224, 0.225]
+    c.DATASET.IMG_SIZE = None
+    c.DATASET.IMAGE_SIZE = None  # [width, height], filled from data
+
+    # CenterDetect (reference: :35-45)
+    c.CENTERDETECT = CfgNode()
+    c.CENTERDETECT.IMAGE_SIZE = 320
+    c.CENTERDETECT.MODEL_SIZE = "medium"
+    c.CENTERDETECT.NUM_JOINTS = 1
+    c.CENTERDETECT.BATCH_SIZE = 4
+    c.CENTERDETECT.OPTIMIZER = "adamw"
+    c.CENTERDETECT.USE_ONECYLCLE = True  # (sic) name kept for compatibility
+    c.CENTERDETECT.MAX_LEARNING_RATE = 0.003
+    c.CENTERDETECT.NUM_EPOCHS = 50
+    c.CENTERDETECT.CHECKPOINT_SAVE_INTERVAL = 10
+    c.CENTERDETECT.VAL_INTERVAL = 1
+
+    # KeypointDetect (reference: :48-58)
+    c.KEYPOINTDETECT = CfgNode()
+    c.KEYPOINTDETECT.MODEL_SIZE = "medium"
+    c.KEYPOINTDETECT.NUM_JOINTS = 0
+    c.KEYPOINTDETECT.BOUNDING_BOX_SIZE = 320
+    c.KEYPOINTDETECT.BATCH_SIZE = 4
+    c.KEYPOINTDETECT.OPTIMIZER = "adamw"
+    c.KEYPOINTDETECT.USE_ONECYLCLE = True
+    c.KEYPOINTDETECT.MAX_LEARNING_RATE = 0.003
+    c.KEYPOINTDETECT.NUM_EPOCHS = 100
+    c.KEYPOINTDETECT.CHECKPOINT_SAVE_INTERVAL = 10
+    c.KEYPOINTDETECT.VAL_INTERVAL = 1
+
+    # Augmentation (reference: :60-84)
+    c.AUGMENTATION = CfgNode()
+    c.AUGMENTATION.COLOR_MANIPULATION = CfgNode()
+    cm = c.AUGMENTATION.COLOR_MANIPULATION
+    cm.ENABLED = True
+    cm.GAUSSIAN_BLUR = CfgNode()
+    cm.GAUSSIAN_BLUR.PROBABILITY = 0.25
+    cm.GAUSSIAN_BLUR.SIGMA = [0, 0.5]
+    cm.GAUSSIAN_NOISE = CfgNode()
+    cm.GAUSSIAN_NOISE.PER_CHANNEL_PROBABILITY = 0.25
+    cm.GAUSSIAN_NOISE.SCALE = [0.0, 0.02]
+    cm.LINEAR_CONTRAST = CfgNode()
+    cm.LINEAR_CONTRAST.PROBABILITY = 0.25
+    cm.LINEAR_CONTRAST.SCALE = [0.8, 1.2]
+    cm.MULTIPLY = CfgNode()
+    cm.MULTIPLY.PROBABILITY = 0.25
+    cm.MULTIPLY.SCALE = [0.8, 1.2]
+    cm.PER_CHANNEL_MULTIPLY = CfgNode()
+    cm.PER_CHANNEL_MULTIPLY.PROBABILITY = 0.25
+    cm.PER_CHANNEL_MULTIPLY.PER_CHANNEL_PROBABILITY = 0.3
+    cm.PER_CHANNEL_MULTIPLY.SCALE = [0.8, 1.2]
+    c.AUGMENTATION.MIRROR = CfgNode()
+    c.AUGMENTATION.MIRROR.PROBABILITY = 0.0
+    c.AUGMENTATION.AFFINE_TRANSFORM = CfgNode()
+    c.AUGMENTATION.AFFINE_TRANSFORM.PROBABILITY = 0.5
+    c.AUGMENTATION.AFFINE_TRANSFORM.ROTATION_RANGE = [-45, 45]
+    c.AUGMENTATION.AFFINE_TRANSFORM.SCALE_RANGE = [0.8, 1.2]
+
+    # HybridNet (reference: :88-99). BATCH_SIZE default of 1 matches the
+    # reference config, but unlike the reference (repro_layer.py:113 processes
+    # only batch element 0) the TPU implementation is fully batched.
+    c.HYBRIDNET = CfgNode()
+    c.HYBRIDNET.NUM_CAMERAS = 0
+    c.HYBRIDNET.ROI_CUBE_SIZE = None
+    c.HYBRIDNET.GRID_SPACING = None
+    c.HYBRIDNET.USE_ONECYLCLE = True
+    c.HYBRIDNET.BATCH_SIZE = 1
+    c.HYBRIDNET.OPTIMIZER = "adamw"
+    c.HYBRIDNET.MAX_LEARNING_RATE = 0.003
+    c.HYBRIDNET.NUM_EPOCHS = 30
+    c.HYBRIDNET.CHECKPOINT_SAVE_INTERVAL = 10
+    c.HYBRIDNET.VAL_INTERVAL = 1
+
+    # TPU-specific (new capability, no reference equivalent)
+    c.TPU = CfgNode()
+    c.TPU.INFERENCE_DTYPE = "bfloat16"  # compute dtype on the inference path
+    c.TPU.TRAIN_DTYPE = "float32"
+    c.TPU.MESH_DATA_AXIS = -1  # -1: all devices on the data axis
+    c.TPU.MESH_CAMERA_AXIS = 1
+    c.TPU.COMPILE_CACHE = "on"  # persistent XLA compilation cache
+    c.TPU.FRAME_BATCH = 8  # frames batched across time for streaming predict
+
+    return c
