@@ -38,7 +38,7 @@ def _conv3d_w(t) -> np.ndarray:
 
 
 def _convT3d_w(t) -> np.ndarray:
-    return np.asarray(t).transpose(2, 3, 4, 0, 1)
+    return np.asarray(t).transpose(2, 3, 4, 1, 0)
 
 
 def _set(tree: dict, path: tuple[str, ...], value: np.ndarray) -> None:
@@ -206,6 +206,79 @@ def efficienttrack_params_to_torch(params: dict, model_size: str) -> dict:
     sd["final_conv1.weight"] = final1.transpose(3, 2, 0, 1)
     sd["final_conv2.weight"] = np.zeros(
         (final1.shape[3], final1.shape[2], 1, 1), np.float32)
+    return sd
+
+
+# Mapping: flax module path -> (torch prefix, kind). Torch Sequential
+# layouts per reference jarvis/hybridnet/v2vnet.py: Basic3DBlock.block =
+# [Conv3d, IN, ReLU]; Res3DBlock.res_branch = [Conv3d, IN, ReLU, Conv3d, IN];
+# Upsample3DBlock.block = [ConvT3d, IN, ReLU].
+_V2V_MAP = {
+    ("front_basic", "conv"): ("front_layers.0.block.0", "conv3d"),
+    ("front_res", "conv1"): ("front_layers.1.res_branch.0", "conv3d"),
+    ("front_res", "conv2"): ("front_layers.1.res_branch.3", "conv3d"),
+    ("skip_res1", "conv1"): ("encoder_decoder.skip_res1.res_branch.0", "conv3d"),
+    ("skip_res1", "conv2"): ("encoder_decoder.skip_res1.res_branch.3", "conv3d"),
+    ("encoder_pool1", "conv"): ("encoder_decoder.encoder_pool1.block.0", "conv3d"),
+    ("mid_res", "conv1"): ("encoder_decoder.mid_res.res_branch.0", "conv3d"),
+    ("mid_res", "conv2"): ("encoder_decoder.mid_res.res_branch.3", "conv3d"),
+    ("decoder_upsample1", "deconv"): (
+        "encoder_decoder.decoder_upsample1.block.0", "convT3d"),
+    ("decoder_res1", "conv1"): (
+        "encoder_decoder.decoder_res1.res_branch.0", "conv3d"),
+    ("decoder_res1", "conv2"): (
+        "encoder_decoder.decoder_res1.res_branch.3", "conv3d"),
+    ("output_layer",): ("output_layer", "conv3d"),
+}
+
+
+def v2v_params_from_torch(state_dict: dict, prefix: str = "") -> dict:
+    """Convert a reference V2VNet state dict (optionally prefixed, e.g.
+    ``v2vNet.``) to flax params for :class:`models.v2v.V2VNet`."""
+    p: dict = {}
+    for flax_path, (torch_prefix, kind) in _V2V_MAP.items():
+        w = state_dict[prefix + torch_prefix + ".weight"]
+        b = state_dict[prefix + torch_prefix + ".bias"]
+        wconv = _convT3d_w(w) if kind == "convT3d" else _conv3d_w(w)
+        _set(p, flax_path + ("kernel",), wconv)
+        _set(p, flax_path + ("bias",), b)
+    return p
+
+
+def v2v_params_to_torch(params: dict, prefix: str = "") -> dict:
+    sd: dict = {}
+    for flax_path, (torch_prefix, kind) in _V2V_MAP.items():
+        node = params
+        for k in flax_path:
+            node = node[k]
+        w = np.asarray(node["kernel"])
+        if kind == "convT3d":  # (kD,kH,kW,O,I) -> (I,O,kD,kH,kW)
+            sd[prefix + torch_prefix + ".weight"] = w.transpose(4, 3, 0, 1, 2)
+        else:  # (kD,kH,kW,I,O) -> (O,I,kD,kH,kW)
+            sd[prefix + torch_prefix + ".weight"] = w.transpose(4, 3, 0, 1, 2)
+        sd[prefix + torch_prefix + ".bias"] = np.asarray(node["bias"])
+    return sd
+
+
+def hybridnet_params_from_torch(state_dict: dict, model_size: str) -> dict:
+    """Convert a reference HybridNetBackbone state dict (keys ``effTrack.*``
+    and ``v2vNet.*``, jarvis/hybridnet/model.py:20-51) to flax params for
+    :class:`models.hybridnet.HybridNetBackbone`."""
+    et_sd = {k[len("effTrack."):]: v for k, v in state_dict.items()
+             if k.startswith("effTrack.")}
+    return {
+        "effTrack": efficienttrack_params_from_torch(et_sd, model_size),
+        "v2vNet": v2v_params_from_torch(state_dict, prefix="v2vNet."),
+    }
+
+
+def hybridnet_params_to_torch(params: dict, model_size: str) -> dict:
+    sd = {}
+    for k, v in efficienttrack_params_to_torch(
+        params["effTrack"], model_size
+    ).items():
+        sd["effTrack." + k] = v
+    sd.update(v2v_params_to_torch(params["v2vNet"], prefix="v2vNet."))
     return sd
 
 
