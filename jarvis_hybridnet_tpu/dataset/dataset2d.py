@@ -1,0 +1,143 @@
+"""2D training datasets (CenterDetect / KeypointDetect).
+
+Re-implements the reference Dataset2D (jarvis/dataset/dataset2D.py:28-269):
+CenterDetect mode resizes the full frame to CENTERDETECT.IMAGE_SIZE and
+renders a single bbox-center Gaussian at output/4 and output/2
+(sigma = output/64); KeypointDetect mode crops BOUNDING_BOX_SIZE around the
+bbox center (clamped inside the frame), shifts keypoints, zeroes the ones
+falling outside the crop, and renders per-joint Gaussians
+(sigma = 1.5*output/64). Augmentation applies on the train split only.
+
+Samples are (image float32 HWC normalized, [targets/4, targets/2], keypoints).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from ..ops.heatmap import gaussian_heatmaps
+from .augmentation import AugmentationPipeline
+from .base import BaseDataset
+
+
+class Dataset2D(BaseDataset):
+    def __init__(self, cfg, set="train", mode="CenterDetect",
+                 skip_assert=False, **kwargs):
+        super().__init__(cfg, cfg.DATASET.DATASET_2D, set, **kwargs)
+        self.mode = mode
+        if not skip_assert:
+            assert cfg.KEYPOINTDETECT.BOUNDING_BOX_SIZE % 64 == 0, (
+                "Bounding Box size has to be divisible by 64!"
+            )
+
+        img = self._load_image(0)
+        self.width, self.height = img.shape[1], img.shape[0]
+        cfg.DATASET.IMAGE_SIZE = [self.width, self.height]
+        if mode == "CenterDetect":
+            cfg.CENTERDETECT.NUM_JOINTS = 1
+
+        self.mean = np.asarray(cfg.DATASET.MEAN, np.float32)
+        self.std = np.asarray(cfg.DATASET.STD, np.float32)
+        self.augpipe = AugmentationPipeline(
+            cfg.AUGMENTATION, mirror=(mode == "KeypointDetect")
+        )
+
+    def __getitem__(self, idx):
+        if self.mode == "CenterDetect":
+            return self._get_item_center(idx)
+        return self._get_item_keypoints(idx)
+
+    def _get_item_center(self, idx):
+        cfg = self.cfg
+        size = int(cfg.CENTERDETECT.IMAGE_SIZE)
+        img = self._load_image(idx)
+        bboxs, _ = self._load_annotations(idx)
+        has_subject = bboxs[0][4] != -1
+        center = np.array(
+            [(bboxs[0][0] + bboxs[0][2]) / 2, (bboxs[0][1] + bboxs[0][3]) / 2],
+            np.float32,
+        ) if has_subject else np.zeros(2, np.float32)
+
+        # resize to the CenterDetect input size, rescaling the target
+        sx = size / img.shape[1]
+        sy = size / img.shape[0]
+        img = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
+        center = center * np.array([sx, sy], np.float32)
+
+        if self.set_name == "train":
+            img, kps = self.augpipe(img, center[None])
+            center = kps[0]
+
+        targets = []
+        for scale in (4, 2):
+            out = size // scale
+            sigma = 1.0 * out / 64  # CenterDetect sigma (dataset2D.py:292-294)
+            pts = center[None] if has_subject else np.zeros((1, 2))
+            targets.append(
+                gaussian_heatmaps(pts, size, out, sigma).astype(np.float32)
+            )
+        keypoints = np.concatenate([center, [1.0]])[None].astype(np.float32)
+        img = (img - self.mean) / self.std
+        return img, targets, keypoints
+
+    def _get_item_keypoints(self, idx):
+        cfg = self.cfg
+        bbox_size = int(cfg.KEYPOINTDETECT.BOUNDING_BOX_SIZE)
+        bbox_hw = bbox_size // 2
+        img = self._load_image(idx)
+        bboxs, keypoints = self._load_annotations(idx)
+        center_y = min(
+            max(bbox_hw, int((bboxs[0, 1] + int(bboxs[0, 3])) / 2)),
+            img.shape[0] - bbox_hw,
+        )
+        center_x = min(
+            max(bbox_hw, int((bboxs[0, 0] + int(bboxs[0, 2])) / 2)),
+            img.shape[1] - bbox_hw,
+        )
+        img = img[center_y - bbox_hw: center_y + bbox_hw,
+                  center_x - bbox_hw: center_x + bbox_hw]
+        kps = keypoints[0].reshape(-1, 3).astype(np.float32)
+        kps[:, 0] += bbox_hw - center_x
+        kps[:, 1] += bbox_hw - center_y
+
+        if self.set_name == "train":
+            img, moved = self.augpipe(img, kps[:, :2])
+            kps[:, :2] = moved
+
+        # zero out keypoints outside the crop (dataset2D.py:199-207)
+        outside = (
+            (kps[:, 0] < 0) | (kps[:, 1] < 0)
+            | (kps[:, 0] >= bbox_size) | (kps[:, 1] >= bbox_size)
+        )
+        kps[outside, :2] = 0
+
+        targets = []
+        for scale in (4, 2):
+            out = bbox_size // scale
+            sigma = 1.5 * out / 64  # KeypointDetect sigma (dataset2D.py:290)
+            targets.append(
+                gaussian_heatmaps(kps[:, :2], bbox_size, out, sigma).astype(
+                    np.float32
+                )
+            )
+        img = (img - self.mean) / self.std
+        return img.astype(np.float32), targets, kps.reshape(1, -1)
+
+    def get_dataset_config(self) -> int:
+        """Suggested BOUNDING_BOX_SIZE = ceil(1.2 * p98(bbox)/64)*64
+        (dataset2D.py:226-251)."""
+        bboxs = []
+        for i in range(len(self.image_ids)):
+            bbox, _ = self._load_annotations(i)
+            if len(bbox) != 0 and bbox[0][4] != -1:
+                bboxs.append(bbox)
+        bboxs = np.array(bboxs)
+        x_sizes = bboxs[:, 0, 2] - bboxs[:, 0, 0]
+        y_sizes = bboxs[:, 0, 3] - bboxs[:, 0, 1]
+        bbox_min = max(np.percentile(x_sizes, 98), np.percentile(y_sizes, 98))
+        return int(np.ceil((bbox_min * 1.20) / 64) * 64)

@@ -1,0 +1,192 @@
+"""3D training dataset.
+
+Re-implements the reference Dataset3D (jarvis/dataset/dataset3D.py:27-309):
+at init, triangulates GT 3D keypoints for every frameset from >=2-camera 2D
+annotations (cv2-exact DLT) and drops framesets whose 3D extent exceeds
+ROI_CUBE_SIZE; per item, crops BOUNDING_BOX_SIZE windows around bbox centers
+(±30% random translation on the train split), computes a grid-snapped cube
+center (±40% margin jitter on train), and renders 3D Gaussian GT volumes at
+(cube/spacing/2)^3.
+
+Samples are dicts of numpy arrays ready for the batched HybridNet forward.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops.heatmap import gaussian_heatmaps_3d
+from ..utils.calibration import CameraRig
+from ..utils.reprojection import triangulate_dlt_numpy
+from .augmentation import AugmentationPipeline
+from .base import BaseDataset
+
+
+class Dataset3D(BaseDataset):
+    def __init__(self, cfg, set="train", analysisMode=False, **kwargs):
+        self.analysisMode = analysisMode
+        super().__init__(cfg, cfg.DATASET.DATASET_3D, set, **kwargs)
+
+        img = self._load_image(0)
+        width, height = img.shape[1], img.shape[0]
+        cfg.DATASET.IMAGE_SIZE = [width, height]
+
+        # one rig per calibration session (dataset3D.py:50-62)
+        self.rigs: dict[str, CameraRig] = {}
+        for session, cams in self.dataset["calibrations"].items():
+            calib_paths = {
+                cam: rel for cam, rel in cams.items()
+                if self.cameras_to_use is None or cam in self.cameras_to_use
+            }
+            self.rigs[session] = CameraRig.from_calib_paths(
+                self.root_dir, calib_paths
+            )
+            self.num_cameras = self.rigs[session].num_cameras
+        cfg.HYBRIDNET.NUM_CAMERAS = self.num_cameras
+        cfg.KEYPOINTDETECT.NUM_JOINTS = self.num_keypoints[0]
+
+        if self.cameras_to_use is not None:
+            all_names = list(
+                next(iter(self.dataset["calibrations"].values())).keys()
+            )
+            keep = set(next(iter(self.rigs.values())).camera_names)
+            self.use_idxs = [i for i, c in enumerate(all_names) if c in keep]
+        else:
+            self.use_idxs = None
+
+        # triangulate GT 3D keypoints per frameset (dataset3D.py:79-134)
+        J = self.num_keypoints[0]
+        self.frameset_keys = []
+        self.keypoints3D = []
+        roi = cfg.HYBRIDNET.ROI_CUBE_SIZE
+        for key, fs in self.dataset["framesets"].items():
+            frame_ids = fs["frames"]
+            if self.use_idxs is not None:
+                frame_ids = [frame_ids[i] for i in self.use_idxs]
+            rig = self.rigs[fs["datasetName"]]
+            kp2d = []
+            for img_id in frame_ids:
+                _, kps = self._load_annotations(img_id, is_id=True)
+                kp2d.append(kps.reshape(-1, 3))
+            kp3d = np.zeros((J, 3))
+            labeled = []
+            for j in range(J):
+                pts = np.zeros((2, self.num_cameras))
+                cams = []
+                for c in range(self.num_cameras):
+                    if kp2d[c][j][0] != 0 or kp2d[c][j][1] != 0:
+                        pts[:, c] = kp2d[c][j][:2]
+                        cams.append(c)
+                kp3d[j] = triangulate_dlt_numpy(pts, cams, rig.camera_list)
+                if len(cams) > 1:
+                    labeled.append(kp3d[j])
+            if not labeled:
+                continue
+            labeled = np.array(labeled)
+            extent = (labeled.max(axis=0) - labeled.min(axis=0)).max()
+            if (roi is None or extent <= roi) and len(labeled) > 1:
+                self.frameset_keys.append(key)
+                self.keypoints3D.append(kp3d)
+
+        self.mean = np.asarray(cfg.DATASET.MEAN, np.float32)
+        self.std = np.asarray(cfg.DATASET.STD, np.float32)
+        self.augpipe = AugmentationPipeline(
+            cfg.AUGMENTATION, mirror=False, affine=False
+        )
+        self.rng = np.random.default_rng()
+
+    def __len__(self):
+        return len(self.frameset_keys)
+
+    def __getitem__(self, idx):
+        cfg = self.cfg
+        spacing = float(cfg.HYBRIDNET.GRID_SPACING)
+        cube = float(cfg.HYBRIDNET.ROI_CUBE_SIZE)
+        bbox_size = int(cfg.KEYPOINTDETECT.BOUNDING_BOX_SIZE)
+        bbox_hw = bbox_size // 2
+        key = self.frameset_keys[idx]
+        fs = self.dataset["framesets"][key]
+        frame_ids = fs["frames"]
+        if self.use_idxs is not None:
+            frame_ids = [frame_ids[i] for i in self.use_idxs]
+        rig = self.rigs[fs["datasetName"]]
+
+        C = self.num_cameras
+        if self.analysisMode:
+            img0 = self._load_image(frame_ids[0], is_id=True)
+            imgs = np.zeros((C,) + img0.shape, np.float32)
+        else:
+            imgs = np.zeros((C, bbox_size, bbox_size, 3), np.float32)
+        center_hm = np.full((C, 2), 128, int)
+
+        for ci, img_id in enumerate(frame_ids):
+            img = self._load_image(img_id, is_id=True)
+            bboxs, _ = self._load_annotations(img_id, is_id=True)
+            cx = int((bboxs[0, 0] + int(bboxs[0, 2])) / 2)
+            cy = int((bboxs[0, 1] + int(bboxs[0, 3])) / 2)
+            if self.set_name == "train":
+                t = self.rng.uniform(-1.0, 1.0, 2)
+                cx += int(t[0] * bbox_hw * 0.3)
+                cy += int(t[1] * bbox_hw * 0.3)
+            cy = min(max(bbox_hw, cy), img.shape[0] - bbox_hw)
+            cx = min(max(bbox_hw, cx), img.shape[1] - bbox_hw)
+            center_hm[ci] = (cx, cy)
+            if not self.analysisMode:
+                img = img[cy - bbox_hw: cy + bbox_hw,
+                          cx - bbox_hw: cx + bbox_hw]
+            if self.set_name == "train":
+                img, _ = self.augpipe(img)
+            imgs[ci] = img
+
+        kp3d = self.keypoints3D[idx]
+        labeled = kp3d[np.any(kp3d != 0, axis=1)]
+        lo = labeled.min(axis=0)
+        hi = labeled.max(axis=0)
+        # grid-snapped cube center (dataset3D.py:217-220)
+        center3d = (
+            ((hi + lo) / spacing / 2.0).astype(int) * int(spacing)
+        ).astype(np.float64)
+        if self.set_name == "train":
+            margins = cube - (hi - lo)
+            t = self.rng.uniform(-0.4, 0.4, 3)
+            center3d += (
+                (margins * t / spacing / 2.0).astype(int) * int(spacing)
+            )
+
+        kp_vox = (kp3d + cube / 2.0 - center3d) / spacing / 2.0
+        g2 = int(cube / spacing / 2.0)
+        heatmap3d = gaussian_heatmaps_3d(kp_vox, kp3d, g2)
+
+        sample = {
+            "imgs": ((imgs - self.mean) / self.std).astype(np.float32)
+            if not self.analysisMode else imgs,
+            "keypoints3D": kp3d.astype(np.float32),
+            "center_hm": center_hm.astype(np.int32),
+            "center3d": center3d.astype(np.int32),
+            "heatmap3d": heatmap3d,  # (J, g2, g2, g2)
+            "camera_matrices": rig.camera_matrices,
+            "intrinsics": rig.intrinsics,
+            "distortions": rig.distortions,
+            "dataset_name": fs["datasetName"],
+        }
+        if self.analysisMode:
+            sample["file_name"] = self.imgs[fs["frames"][0]]["file_name"]
+        return sample
+
+    def get_dataset_config(self) -> dict:
+        """Suggest cube size / grid spacing from p95 GT extents
+        (dataset3D.py:265-309)."""
+        extents = []
+        for kp in self.keypoints3D:
+            labeled = kp[np.any(kp != 0, axis=1)]
+            extents.append(labeled.max(axis=0) - labeled.min(axis=0))
+        extents = np.array(extents)
+        min_cube = max(
+            np.percentile(extents[:, 0], 95),
+            np.percentile(extents[:, 1], 95),
+            np.percentile(extents[:, 2], 95),
+        )
+        rough = min_cube * 1.25
+        resolution = max(1, int(np.round(rough / 85.0)))
+        bbox = int(np.ceil((min_cube * 1.25) / (resolution * 4)) * resolution * 4)
+        return {"bbox": bbox, "resolution": resolution}

@@ -1,0 +1,97 @@
+"""Heatmap decoding and target generation.
+
+Decode follows the reference's convention exactly: flatten the spatial dims,
+argmax, ``x = m % W``, ``y = m // W`` (jarvis/prediction/jarvis2D.py:115-124;
+the reference's use of shape[2]/shape[3] is equivalent because all heatmaps
+are square).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def argmax_2d(heatmaps: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-channel spatial argmax.
+
+    heatmaps: (..., H, W, C) NHWC. Returns (xy (..., C, 2) int32,
+    maxvals (..., C)).
+    """
+    h, w = heatmaps.shape[-3], heatmaps.shape[-2]
+    flat = jnp.moveaxis(heatmaps, -1, -3).reshape(
+        *heatmaps.shape[:-3], heatmaps.shape[-1], h * w
+    )
+    m = jnp.argmax(flat, axis=-1)
+    maxvals = jnp.max(flat, axis=-1)
+    xy = jnp.stack([m % w, m // w], axis=-1).astype(jnp.int32)
+    return xy, maxvals
+
+
+def gaussian_heatmaps(
+    keypoints: np.ndarray,  # (J, 2) pixel coords in input resolution
+    input_size: int,
+    output_size: int,
+    sigma: float,
+) -> np.ndarray:
+    """Host-side Gaussian target rendering, matching the reference
+    HeatmapGenerator (jarvis/dataset/dataset2D.py:284-339): peak 255,
+    integer-truncated center at output resolution, window of
+    ``6*sigma + 3`` px, points at (0,0) or outside the map skipped.
+
+    Returns (J, output_size, output_size) float32.
+    """
+    scale = float(output_size) / float(input_size)
+    size = int(6 * sigma + 3)
+    x = np.arange(0, size, 1, float)
+    y = x[:, np.newaxis]
+    x0 = y0 = 3 * sigma + 1
+    g = 255.0 * np.exp(-((x - x0) ** 2 + (y - y0) ** 2) / (2 * sigma**2))
+
+    J = keypoints.shape[0]
+    hms = np.zeros((J, output_size, output_size), dtype=np.float32)
+    for idx, pt in enumerate(keypoints):
+        if pt[0] == 0 and pt[1] == 0:
+            continue
+        cx, cy = int(pt[0] * scale), int(pt[1] * scale)
+        if cx < 0 or cy < 0 or cx >= output_size or cy >= output_size:
+            continue
+        ul = (int(np.round(cx - 3 * sigma - 1)), int(np.round(cy - 3 * sigma - 1)))
+        br = (int(np.round(cx + 3 * sigma + 2)), int(np.round(cy + 3 * sigma + 2)))
+        a, b = max(0, -ul[1]), min(br[1], output_size) - ul[1]
+        c, d = max(0, -ul[0]), min(br[0], output_size) - ul[0]
+        aa, bb = max(0, ul[1]), min(br[1], output_size)
+        cc, dd = max(0, ul[0]), min(br[0], output_size)
+        hms[idx, aa:bb, cc:dd] = np.maximum(hms[idx, aa:bb, cc:dd], g[a:b, c:d])
+    return hms
+
+
+def gaussian_heatmaps_3d(
+    keypoints_vox: np.ndarray,  # (J, 3) voxel coords at the output resolution
+    keypoints_world: np.ndarray,  # (J, 3) raw keypoints (0 rows = unlabeled)
+    size: int,
+) -> np.ndarray:
+    """3D Gaussian GT volumes, matching Dataset3D.__getitem__
+    (jarvis/dataset/dataset3D.py:233-248): peak 255, sigma-exponent 1.7,
+    dense evaluation, joints with all-zero world coords left empty. The
+    reference's labeled-check (``[0] != 0 or [1] == 0 or [2] != 0``,
+    dataset3D.py:243) contains a typo; the documented intent (any non-zero
+    coordinate) is used here and the loss masks unlabeled joints anyway.
+
+    Returns (J, size, size, size) float32.
+    """
+    r = np.arange(size)
+    xx, yy, zz = np.meshgrid(r, r, r, indexing="ij")
+    J = keypoints_vox.shape[0]
+    out = np.zeros((J, size, size, size), dtype=np.float32)
+    exponent = 1.7
+    for i in range(J):
+        if not np.any(keypoints_world[i] != 0):
+            continue
+        kx, ky, kz = keypoints_vox[i]
+        out[i] = 255.0 * np.exp(
+            -0.5 * (((kx - xx) / exponent) ** 2
+                    + ((ky - yy) / exponent) ** 2
+                    + ((kz - zz) / exponent) ** 2)
+        )
+    return out

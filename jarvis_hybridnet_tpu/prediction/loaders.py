@@ -1,0 +1,118 @@
+"""Build jitted predictors with resolved weights."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.efficienttrack import EfficientTrackBackbone
+from ..models.hybridnet import HybridNetBackbone
+from ..training.checkpoints import (
+    load_efficienttrack_params,
+    load_hybridnet_params,
+)
+from .predictor2d import build_predict2d
+from .predictor3d import build_predict3d
+
+
+def _dtype_from_cfg(cfg):
+    name = str(cfg.get("TPU", {}).get("INFERENCE_DTYPE", "bfloat16"))
+    return jnp.bfloat16 if name == "bfloat16" else jnp.float32
+
+
+def _materialize(init_fn, *args, seed: int = 0, abstract: bool = False):
+    """Param tree via real init (training) or eval_shape zeros (inference,
+    where checkpoints overwrite everything anyway — avoids a full forward
+    pass at build time)."""
+    if abstract:
+        shapes = jax.eval_shape(init_fn, jax.random.PRNGKey(0), *args)
+        return jax.tree.map(
+            lambda s: np.zeros(s.shape, s.dtype), shapes
+        )["params"]
+    return init_fn(jax.random.PRNGKey(seed), *args)["params"]
+
+
+def init_efficienttrack_params(
+    cfg, module: str, seed: int = 0, abstract: bool = False
+) -> dict:
+    sub = cfg[module.upper()]
+    model = EfficientTrackBackbone(
+        model_size=sub.MODEL_SIZE,
+        output_channels=int(sub.NUM_JOINTS),
+    )
+    size = int(sub.IMAGE_SIZE if module == "CenterDetect"
+               else cfg.KEYPOINTDETECT.BOUNDING_BOX_SIZE)
+    x = jnp.zeros((1, size, size, 3), jnp.float32)
+    return _materialize(model.init, x, seed=seed, abstract=abstract)
+
+
+def init_hybridnet_params(
+    cfg, seed: int = 0, abstract: bool = False
+) -> dict:
+    model = HybridNetBackbone(
+        num_joints=int(cfg.KEYPOINTDETECT.NUM_JOINTS),
+        model_size=cfg.KEYPOINTDETECT.MODEL_SIZE,
+        roi_cube_size=int(cfg.HYBRIDNET.ROI_CUBE_SIZE),
+        grid_spacing=int(cfg.HYBRIDNET.GRID_SPACING),
+    )
+    C = int(cfg.HYBRIDNET.NUM_CAMERAS)
+    S = int(cfg.KEYPOINTDETECT.BOUNDING_BOX_SIZE)
+    imgs = jnp.zeros((1, C, S, S, 3), jnp.float32)
+    center_hm = jnp.full((1, C, 2), S // 2, jnp.int32)
+    center3d = jnp.zeros((1, 3), jnp.int32)
+    P = jnp.zeros((1, C, 4, 3), jnp.float32).at[:, :, 3, 2].set(1.0)
+    K = jnp.eye(3)[None, None].repeat(C, 1).astype(jnp.float32) * 100.0
+    D = jnp.zeros((1, C, 1, 5), jnp.float32)
+    return _materialize(
+        model.init, imgs, center_hm, center3d, P, K, D,
+        seed=seed, abstract=abstract,
+    )
+
+
+def make_predictor2d(
+    cfg,
+    weights_center_detect: str = "latest",
+    weights_keypoint_detect: str = "latest",
+    dtype=None,
+):
+    center = load_efficienttrack_params(
+        cfg, "CenterDetect", weights_center_detect,
+        init_params=init_efficienttrack_params(cfg, "CenterDetect",
+                                               abstract=True),
+    )
+    keypoint = load_efficienttrack_params(
+        cfg, "KeypointDetect", weights_keypoint_detect,
+        init_params=init_efficienttrack_params(cfg, "KeypointDetect",
+                                               abstract=True),
+    )
+    return build_predict2d(
+        cfg, center, keypoint, dtype=dtype or _dtype_from_cfg(cfg)
+    )
+
+
+def make_predictor3d(
+    cfg,
+    rig,
+    weights_center_detect: str = "latest",
+    weights_hybridnet: str = "latest",
+    dtype=None,
+):
+    center = load_efficienttrack_params(
+        cfg, "CenterDetect", weights_center_detect,
+        init_params=init_efficienttrack_params(cfg, "CenterDetect",
+                                               abstract=True),
+    )
+    hybrid = load_hybridnet_params(
+        cfg, weights_hybridnet,
+        init_params=init_hybridnet_params(cfg, abstract=True),
+    )
+    return build_predict3d(
+        cfg,
+        center,
+        hybrid,
+        rig.camera_matrices,
+        rig.intrinsics,
+        rig.distortions,
+        dtype=dtype or _dtype_from_cfg(cfg),
+    )

@@ -1,0 +1,126 @@
+"""Video -> 2D keypoint CSV driver.
+
+Equivalent of the reference predict2D (jarvis/prediction/predict2D.py:30-117)
+with identical output layout: writes
+``projects/<p>/predictions/predictions2D/Predictions_2D_<ts>/`` containing
+``info.yaml`` and ``data2D.csv`` (two-row header of joint names /
+x,y,confidence when KEYPOINT_NAMES matches; NaN rows for undetected frames).
+Frames are decoded ahead in a prefetch thread and processed in TPU-sized
+batches instead of one at a time.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+
+import numpy as np
+import yaml
+from tqdm import tqdm
+
+from ..config.project_manager import ProjectManager
+from ..utils import clp
+from ..utils.param_classes import Predict2DParams
+from . import compile_cache
+from .loaders import make_predictor2d
+from .video_io import SingleVideoReader
+
+
+def predict2D(params: Predict2DParams) -> str | None:
+    project = ProjectManager()
+    if not project.load(params.project_name):
+        clp.error(f"Could not load project: {params.project_name}! Aborting...")
+        return None
+    cfg = project.cfg
+    compile_cache.configure(cfg, params.trt_mode)
+
+    params.output_dir = os.path.join(
+        project.parent_dir, cfg.PROJECTS_ROOT_PATH, params.project_name,
+        "predictions", "predictions2D",
+        f'Predictions_2D_{time.strftime("%Y%m%d-%H%M%S")}',
+    )
+    os.makedirs(params.output_dir, exist_ok=True)
+    _write_info(params)
+
+    predictor = make_predictor2d(
+        cfg, params.weights_center_detect, params.weights_keypoint_detect
+    )
+
+    recording_paths = []
+    multiple_videos = False
+    if os.path.isfile(params.recording_path):
+        recording_paths.append(params.recording_path)
+    elif os.path.exists(params.recording_path):
+        multiple_videos = True
+        recording_paths = [
+            os.path.join(params.recording_path, f)
+            for f in sorted(os.listdir(params.recording_path))
+        ]
+
+    batch = int(cfg.get("TPU", {}).get("FRAME_BATCH", 8))
+    num_joints = int(cfg.KEYPOINTDETECT.NUM_JOINTS)
+
+    for recording_path in recording_paths:
+        csv_name = "data2D.csv"
+        if multiple_videos:
+            stem = os.path.basename(recording_path).split(".")[0]
+            csv_name = f"{stem}_{csv_name}"
+        reader = SingleVideoReader(
+            recording_path,
+            frame_start=params.frame_start,
+            number_frames=params.number_frames,
+            batch_size=batch,
+        )
+        with open(os.path.join(params.output_dir, csv_name), "w",
+                  newline="") as csvfile:
+            writer = csv.writer(csvfile, delimiter=",", quotechar='"',
+                                quoting=csv.QUOTE_MINIMAL)
+            if len(cfg.KEYPOINT_NAMES) == num_joints:
+                _write_header(writer, cfg, per_joint=("x", "y", "confidence"))
+
+            done = 0
+            bar = tqdm(total=reader.number_frames)
+            for frames, n in reader:
+                points, conf, valid = predictor(frames)
+                points = np.asarray(points)
+                conf = np.asarray(conf)
+                valid = np.asarray(valid)
+                for t in range(n):
+                    _write_row(writer, points[t], conf[t], valid[t], num_joints)
+                done += n
+                bar.update(n)
+                if params.progress_bar is not None:
+                    params.progress_bar.progress(done / reader.number_frames)
+            bar.close()
+        reader.release()
+    return params.output_dir
+
+
+def _write_row(writer, points, conf, valid, num_joints, with_z=False):
+    if not valid:
+        writer.writerow(["NaN"] * (num_joints * (4 if with_z else 3)))
+        return
+    row = []
+    for j in range(num_joints):
+        row += [float(x) for x in points[j]] + [float(conf[j])]
+    writer.writerow(row)
+
+
+def _write_header(writer, cfg, per_joint):
+    joints = [name for name in cfg.KEYPOINT_NAMES for _ in per_joint]
+    coords = list(per_joint) * len(cfg.KEYPOINT_NAMES)
+    writer.writerow(joints)
+    writer.writerow(coords)
+
+
+def _write_info(params, dataset_name=None):
+    info = {
+        "recording_path": params.recording_path,
+        "frame_start": params.frame_start,
+        "number_frames": params.number_frames,
+    }
+    if dataset_name is not None or hasattr(params, "dataset_name"):
+        info["dataset_name"] = getattr(params, "dataset_name", dataset_name)
+    with open(os.path.join(params.output_dir, "info.yaml"), "w") as f:
+        yaml.safe_dump(info, f, sort_keys=False)

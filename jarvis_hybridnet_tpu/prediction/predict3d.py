@@ -1,0 +1,98 @@
+"""Multi-camera video -> 3D pose CSV driver.
+
+Equivalent of the reference predict3D (jarvis/prediction/predict3D.py:27-105)
+with identical output layout: writes
+``projects/<p>/predictions/predictions3D/Predictions_3D_<ts>/`` with
+``info.yaml`` and ``data3D.csv`` (two-row header / x,y,z,confidence; NaN rows
+when fewer than two cameras detect the subject). Videos are matched to
+calibration camera names; framesets are decoded ahead in a prefetch thread
+and processed in TPU-sized batches.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+
+import numpy as np
+from tqdm import tqdm
+
+from ..config.project_manager import ProjectManager
+from ..utils import clp
+from ..utils.calibration import CameraRig, load_camera_rigs
+from ..utils.param_classes import Predict3DParams
+from . import compile_cache
+from .loaders import make_predictor3d
+from .predict2d import _write_header, _write_info, _write_row
+from .video_io import MultiCameraReader, get_video_paths
+
+
+def get_camera_rig(cfg, dataset_name=None) -> CameraRig:
+    """Resolve the calibration rig for a project
+    (reference get_repro_tool, jarvis/utils/reprojection.py:115-146)."""
+    dataset_dir = os.path.join(
+        cfg.PARENT_DIR, cfg.DATASET.DATASET_ROOT_DIR, cfg.DATASET.DATASET_3D
+    )
+    rigs = load_camera_rigs(dataset_dir)
+    if dataset_name is not None and dataset_name in rigs:
+        return rigs[dataset_name]
+    return rigs[next(iter(rigs))]
+
+
+def predict3D(params: Predict3DParams) -> str | None:
+    project = ProjectManager()
+    if not project.load(params.project_name):
+        clp.error(f"Could not load project: {params.project_name}! Aborting...")
+        return None
+    cfg = project.cfg
+    compile_cache.configure(cfg, params.trt_mode)
+
+    rig = get_camera_rig(cfg, params.dataset_name)
+
+    params.output_dir = os.path.join(
+        project.parent_dir, cfg.PROJECTS_ROOT_PATH, params.project_name,
+        "predictions", "predictions3D",
+        f'Predictions_3D_{time.strftime("%Y%m%d-%H%M%S")}',
+    )
+    os.makedirs(params.output_dir, exist_ok=True)
+    _write_info(params)
+
+    predictor = make_predictor3d(
+        cfg, rig, params.weights_center_detect, params.weights_hybridnet
+    )
+
+    video_paths = get_video_paths(params.recording_path, rig.camera_names)
+    batch = int(cfg.get("TPU", {}).get("FRAME_BATCH", 4))
+    reader = MultiCameraReader(
+        video_paths,
+        frame_start=params.frame_start,
+        number_frames=params.number_frames,
+        batch_size=batch,
+    )
+
+    num_joints = int(cfg.KEYPOINTDETECT.NUM_JOINTS)
+    with open(os.path.join(params.output_dir, "data3D.csv"), "w",
+              newline="") as csvfile:
+        writer = csv.writer(csvfile, delimiter=",", quotechar='"',
+                            quoting=csv.QUOTE_MINIMAL)
+        if len(cfg.KEYPOINT_NAMES) == num_joints:
+            _write_header(writer, cfg, per_joint=("x", "y", "z", "confidence"))
+
+        done = 0
+        bar = tqdm(total=reader.number_frames)
+        for frames, n in reader:
+            points, conf, valid = predictor(frames)
+            points = np.asarray(points)
+            conf = np.asarray(conf)
+            valid = np.asarray(valid)
+            for t in range(n):
+                _write_row(writer, points[t], conf[t], valid[t], num_joints,
+                           with_z=True)
+            done += n
+            bar.update(n)
+            if params.progress_bar is not None:
+                params.progress_bar.progress(done / reader.number_frames)
+        bar.close()
+    reader.release()
+    return params.output_dir

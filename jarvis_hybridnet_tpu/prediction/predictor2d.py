@@ -1,0 +1,94 @@
+"""Fused 2D prediction cascade (jit, batched over frames).
+
+TPU-native equivalent of JarvisPredictor2D
+(jarvis/prediction/jarvis2D.py:17-155): resize -> normalize -> CenterDetect
+-> argmax gate (maxval > 40) -> clamped crop -> KeypointDetect -> decode.
+The whole cascade is one jitted graph with static shapes; the detection gate
+becomes a validity flag (the reference returns ``None``) and frames are
+batched along a leading time axis for TPU throughput instead of the
+reference's one-frame-at-a-time loop.
+
+The reference's TensorRT fp16 engines (jarvis/prediction/jarvis2D.py:63-98)
+map to the ``dtype=bfloat16`` compute path + XLA persistent compilation
+cache (see prediction.compile_cache).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..models.efficienttrack import EfficientTrackBackbone
+from ..ops.heatmap import argmax_2d
+from ..ops.image import normalize_imagenet, resize_bilinear
+
+
+def build_predict2d(
+    cfg,
+    center_params: Any,
+    keypoint_params: Any,
+    dtype=jnp.float32,
+):
+    """Returns a jitted ``fn(imgs) -> (points2D, confidences, valid)``.
+
+    imgs: (T, H, W, 3) float32 in [0, 1] (RGB full frames).
+    points2D: (T, J, 2) float32 full-resolution pixels;
+    confidences: (T, J); valid: (T,) bool (maxval > 40 gate,
+    jarvis2D.py:121).
+    """
+    center_size = int(cfg.CENTERDETECT.IMAGE_SIZE)
+    bbox = int(cfg.KEYPOINTDETECT.BOUNDING_BOX_SIZE)
+    bbox_hw = bbox // 2
+    num_joints = int(cfg.KEYPOINTDETECT.NUM_JOINTS)
+    mean = jnp.asarray(cfg.DATASET.MEAN, jnp.float32)
+    std = jnp.asarray(cfg.DATASET.STD, jnp.float32)
+
+    center_model = EfficientTrackBackbone(
+        model_size=cfg.CENTERDETECT.MODEL_SIZE, output_channels=1, dtype=dtype
+    )
+    keypoint_model = EfficientTrackBackbone(
+        model_size=cfg.KEYPOINTDETECT.MODEL_SIZE,
+        output_channels=num_joints,
+        dtype=dtype,
+    )
+
+    @jax.jit
+    def predict(imgs: jnp.ndarray):
+        T, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+        scale_x = W / float(center_size)
+        scale_y = H / float(center_size)
+
+        resized = resize_bilinear(imgs, center_size, center_size)
+        inp = normalize_imagenet(resized, mean, std).astype(dtype)
+        _, hm = center_model.apply({"params": center_params}, inp)
+        hm = hm.astype(jnp.float32)
+        xy, maxval = argmax_2d(hm)  # (T, 1, 2), (T, 1)
+        maxval = maxval[:, 0]
+        valid = maxval > 40.0
+
+        # stride-2 heatmap coords -> full-res (jarvis2D.py:122-125)
+        cx = (xy[:, 0, 0].astype(jnp.float32) * scale_x * 2.0).astype(jnp.int32)
+        cy = (xy[:, 0, 1].astype(jnp.float32) * scale_y * 2.0).astype(jnp.int32)
+        cx = jnp.clip(cx, bbox_hw, W - bbox_hw - 1)
+        cy = jnp.clip(cy, bbox_hw, H - bbox_hw - 1)
+
+        def crop(img, x0, y0):
+            return jax.lax.dynamic_slice(
+                img, (y0 - bbox_hw, x0 - bbox_hw, 0), (bbox, bbox, 3)
+            )
+
+        crops = jax.vmap(crop)(imgs, cx, cy)
+        crops = normalize_imagenet(crops, mean, std).astype(dtype)
+        _, khm = keypoint_model.apply({"params": keypoint_params}, crops)
+        khm = khm.astype(jnp.float32)
+        kxy, kmax = argmax_2d(khm)  # (T, J, 2), (T, J)
+
+        offset = jnp.stack([cx - bbox_hw, cy - bbox_hw], axis=-1)
+        points = kxy.astype(jnp.float32) * 2.0 + offset[:, None, :]
+        confidences = jnp.clip(kmax, max=255.0) / 255.0
+        return points, confidences, valid
+
+    return predict

@@ -1,0 +1,121 @@
+"""Fused 3D prediction cascade (jit, batched over framesets).
+
+TPU-native equivalent of JarvisPredictor3D
+(jarvis/prediction/jarvis3D.py:19-190): CenterDetect on all cameras as one
+batch, >=2-camera maxval>50 gate, confidence-weighted DLT triangulation of
+the subject center, reprojection into every camera for crop placement,
+per-camera crops, then the HybridNet 3D stage. Everything is one jitted
+graph; T framesets are batched along a leading axis (the reference streams
+one frameset at a time, predict3D.py:75).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..models.efficienttrack import EfficientTrackBackbone
+from ..models.hybridnet import HybridNetBackbone
+from ..ops.heatmap import argmax_2d
+from ..ops.image import normalize_imagenet, resize_bilinear
+from ..utils.reprojection import project_points, triangulate
+
+
+def build_predict3d(
+    cfg,
+    center_params: Any,
+    hybridnet_params: Any,
+    camera_matrices,  # (C, 4, 3)
+    intrinsics,  # (C, 3, 3)
+    distortions,  # (C, 1, 5)
+    dtype=jnp.float32,
+):
+    """Returns a jitted ``fn(imgs) -> (points3D, confidences, valid)``.
+
+    imgs: (T, C, H, W, 3) float32 RGB in [0, 1].
+    points3D: (T, J, 3) world mm; confidences: (T, J); valid: (T,) bool.
+    """
+    center_size = int(cfg.CENTERDETECT.IMAGE_SIZE)
+    bbox = int(cfg.KEYPOINTDETECT.BOUNDING_BOX_SIZE)
+    bbox_hw = bbox // 2
+    num_joints = int(cfg.KEYPOINTDETECT.NUM_JOINTS)
+    num_cameras = int(cfg.HYBRIDNET.NUM_CAMERAS)
+    mean = jnp.asarray(cfg.DATASET.MEAN, jnp.float32)
+    std = jnp.asarray(cfg.DATASET.STD, jnp.float32)
+
+    P = jnp.asarray(camera_matrices, jnp.float32)
+    K = jnp.asarray(intrinsics, jnp.float32)
+    D = jnp.asarray(distortions, jnp.float32)
+
+    center_model = EfficientTrackBackbone(
+        model_size=cfg.CENTERDETECT.MODEL_SIZE, output_channels=1, dtype=dtype
+    )
+    hybrid_model = HybridNetBackbone(
+        num_joints=num_joints,
+        model_size=cfg.KEYPOINTDETECT.MODEL_SIZE,
+        roi_cube_size=int(cfg.HYBRIDNET.ROI_CUBE_SIZE),
+        grid_spacing=int(cfg.HYBRIDNET.GRID_SPACING),
+        dtype=dtype,
+    )
+
+    @jax.jit
+    def predict(imgs: jnp.ndarray):
+        T, C, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2], imgs.shape[3]
+        scale = jnp.asarray(
+            [W / float(center_size), H / float(center_size)], jnp.float32
+        )
+
+        # --- CenterDetect over all (T*C) frames as one batch -------------
+        flat = imgs.reshape(T * C, H, W, 3)
+        resized = resize_bilinear(flat, center_size, center_size)
+        inp = normalize_imagenet(resized, mean, std).astype(dtype)
+        _, hm = center_model.apply({"params": center_params}, inp)
+        hm = hm.astype(jnp.float32)
+        xy, maxval = argmax_2d(hm)  # (T*C, 1, 2), (T*C, 1)
+        preds = xy[:, 0].reshape(T, C, 2).astype(jnp.float32)
+        maxvals = maxval[:, 0].reshape(T, C)
+
+        # gate: >=2 cameras above 50 (jarvis3D.py:154-157)
+        valid = jnp.sum(maxvals > 50.0, axis=1) >= 2
+        weights = maxvals / 255.0
+
+        # --- weighted DLT triangulation of the center (jarvis3D.py:158-160)
+        pts_fullres = preds * (scale * 2.0)
+
+        def tri(p2d, w):
+            return triangulate(p2d, w, P, K, D)
+
+        center3d = jax.vmap(tri)(pts_fullres, weights)  # (T, 3)
+        center3d = jnp.where(valid[:, None], center3d, 0.0)
+
+        # --- reproject center into all cameras -> crop centers ------------
+        centers = jax.vmap(
+            lambda c: project_points(c, P, K, D)
+        )(center3d)  # (T, C, 2)
+        centers = centers.astype(jnp.int32)
+        cx = jnp.clip(centers[..., 0], bbox_hw, W - bbox_hw)
+        cy = jnp.clip(centers[..., 1], bbox_hw, H - bbox_hw)
+
+        def crop(img, x0, y0):
+            return jax.lax.dynamic_slice(
+                img, (y0 - bbox_hw, x0 - bbox_hw, 0), (bbox, bbox, 3)
+            )
+
+        crops = jax.vmap(jax.vmap(crop))(imgs, cx, cy)  # (T, C, bbox, bbox, 3)
+        crops = normalize_imagenet(crops, mean, std)
+
+        center_hm = jnp.stack([cx, cy], axis=-1)  # (T, C, 2)
+        _, _, points3d, confidences = hybrid_model.apply(
+            {"params": hybridnet_params},
+            crops,
+            center_hm,
+            center3d.astype(jnp.int32),
+            jnp.broadcast_to(P, (T,) + P.shape),
+            jnp.broadcast_to(K, (T,) + K.shape),
+            jnp.broadcast_to(D, (T,) + D.shape),
+        )
+        return points3d, confidences, valid
+
+    return predict

@@ -1,0 +1,191 @@
+"""Checkpoint saving/loading and reference-compatible weight resolution.
+
+Mirrors the reference's weight-spec conventions
+(jarvis/efficienttrack/efficienttrack.py:90-183, train_interface.py:22-50):
+
+  * a filesystem path          -> loaded directly (.pth or .ckpt)
+  * 'latest'                   -> newest run dir (by mtime) under
+                                  projects/<p>/models/<module>/ containing a
+                                  final checkpoint
+  * 'ecoset' / a pretrain name -> pretrained/<name>/EfficientTrack_*.pth
+  * None                       -> random initialization
+
+Native checkpoints are msgpack-serialized flax pytrees (.ckpt); reference
+``.pth`` state dicts are imported via models.weights_io, and ``.pth`` export
+is offered for round-tripping back into the reference.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import numpy as np
+from flax import serialization
+
+from ..models import weights_io
+from ..utils import clp
+
+
+def save_checkpoint(params: Any, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+
+def load_checkpoint(path: str, target: Any = None) -> Any:
+    with open(path, "rb") as f:
+        data = f.read()
+    if target is not None:
+        return serialization.from_bytes(target, data)
+    return serialization.msgpack_restore(data)
+
+
+def save_torch_checkpoint(params: dict, path: str, model_size: str,
+                          kind: str = "efficienttrack") -> None:
+    """Export a flax param tree as a reference-loadable .pth state dict."""
+    import torch
+
+    if kind == "efficienttrack":
+        sd = weights_io.efficienttrack_params_to_torch(params, model_size)
+    else:
+        sd = weights_io.hybridnet_params_to_torch(params, model_size)
+    tensors = {k: torch.from_numpy(np.ascontiguousarray(v))
+               for k, v in sd.items()}
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    torch.save(tensors, path)
+
+
+def _latest_run_file(search_path: str, final_names: list[str]) -> str | None:
+    """Newest run dir (mtime-sorted) containing a final checkpoint
+    (reference: efficienttrack.py:165-183)."""
+    if not os.path.isdir(search_path):
+        return None
+    dirs = [os.path.join(search_path, d) for d in os.listdir(search_path)]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    dirs.sort(key=os.path.getmtime, reverse=True)
+    for d in dirs:
+        for name in final_names:
+            p = os.path.join(d, name)
+            if os.path.isfile(p):
+                return p
+    return None
+
+
+def get_latest_weights(cfg, module: str) -> str | None:
+    """module in {'CenterDetect', 'KeypointDetect', 'HybridNet'}."""
+    sub_cfg = cfg[module.upper()] if module != "HybridNet" else cfg.KEYPOINTDETECT
+    size = sub_cfg.MODEL_SIZE
+    search = os.path.join(
+        cfg.PARENT_DIR, "projects", cfg.PROJECT_NAME, "models", module
+    )
+    if module == "HybridNet":
+        names = [f"HybridNet-{size}_final.ckpt", f"HybridNet-{size}_final.pth"]
+    else:
+        names = [
+            f"EfficientTrack-{size}_final.ckpt",
+            f"EfficientTrack-{size}_final.pth",
+        ]
+    return _latest_run_file(search, names)
+
+
+def load_efficienttrack_params(
+    cfg,
+    module: str,  # 'CenterDetect' or 'KeypointDetect'
+    weights: str | None,
+    init_params: dict | None = None,
+) -> dict | None:
+    """Resolve + load EfficientTrack weights into a flax param tree.
+
+    ``init_params`` (a randomly initialized tree) is required for partial
+    loads (pretrains with differing head joints) and returned updated.
+    Returns None when ``weights`` is None (caller keeps random init).
+    """
+    sub_cfg = cfg[module.upper()]
+    size = sub_cfg.MODEL_SIZE
+    num_joints = int(sub_cfg.NUM_JOINTS)
+
+    path = weights
+    if weights == "latest":
+        path = get_latest_weights(cfg, module)
+        if path is None:
+            clp.warning(f"No saved weights found for {module}.")
+            return None
+    elif weights == "ecoset":
+        path = os.path.join(cfg.PARENT_DIR, "pretrained", "EcoSet",
+                            f"EfficientTrack-{size}.pth")
+    elif weights is not None and not os.path.isfile(weights):
+        # a pose-pretrain name (reference: efficienttrack.py:138-162)
+        prefix = ("EfficientTrack_Center" if module == "CenterDetect"
+                  else "EfficientTrack_Keypoints")
+        cand = os.path.join(cfg.PARENT_DIR, "pretrained", weights,
+                            f"{prefix}-{size}.pth")
+        if os.path.isfile(cand):
+            path = cand
+
+    if path is None:
+        return None
+    if not os.path.isfile(path):
+        clp.warning(f"Could not load weights: {path}")
+        return None
+
+    if path.endswith(".pth"):
+        sd = weights_io.load_torch_state_dict(path)
+        loaded = weights_io.efficienttrack_params_from_torch(
+            sd, size, num_joints=num_joints, drop_head=True
+        )
+    else:
+        loaded = load_checkpoint(path)
+    clp.info(f"Successfully loaded weights: {path}")
+    if init_params is not None:
+        return weights_io.merge_params(init_params, loaded)
+    return loaded
+
+
+def load_hybridnet_params(
+    cfg,
+    weights: str | None,
+    init_params: dict | None = None,
+    efficienttrack_weights: str | None = None,
+) -> dict | None:
+    """Resolve + load HybridNet weights (optionally seeding the embedded
+    2D net from a KeypointDetect checkpoint, train_interface.py:166-179)."""
+    size = cfg.KEYPOINTDETECT.MODEL_SIZE
+    params = init_params
+
+    if efficienttrack_weights is not None and params is not None:
+        et = load_efficienttrack_params(
+            cfg, "KeypointDetect", efficienttrack_weights,
+            init_params=params.get("effTrack"),
+        )
+        if et is not None:
+            params = dict(params)
+            params["effTrack"] = et
+
+    path = weights
+    if weights == "latest":
+        path = get_latest_weights(cfg, "HybridNet")
+        if path is None:
+            clp.warning("No saved HybridNet weights found.")
+            return params
+    elif weights is not None and not os.path.isfile(weights):
+        cand = os.path.join(cfg.PARENT_DIR, "pretrained", weights,
+                            f"HybridNet-{size}.pth")
+        if os.path.isfile(cand):
+            path = cand
+
+    if path is None:
+        return params
+    if not os.path.isfile(path):
+        clp.warning(f"Could not load HybridNet weights: {path}")
+        return params
+
+    if path.endswith(".pth"):
+        sd = weights_io.load_torch_state_dict(path)
+        loaded = weights_io.hybridnet_params_from_torch(sd, size)
+    else:
+        loaded = load_checkpoint(path)
+    clp.info(f"Loaded HybridNet weights: {path}")
+    if init_params is not None:
+        return weights_io.merge_params(init_params, loaded)
+    return loaded

@@ -1,0 +1,83 @@
+"""Training orchestration used by every UI.
+
+Equivalent of the reference train_interface
+(jarvis/train_interface.py:22-213): load a project, build datasets, resolve
+weight specs ('latest'/None/'ecoset'/pretrain-name/path), construct the
+trainer, run, and report final stats. ``train_hybridnet`` seeds the embedded
+2D net from a KeypointDetect checkpoint, supports finetune (LR/10,
+train_interface.py:201-203) and the four freeze modes.
+"""
+
+from __future__ import annotations
+
+from ..config.project_manager import ProjectManager
+from ..dataset.dataset2d import Dataset2D
+from ..dataset.dataset3d import Dataset3D
+from ..utils import clp
+from .checkpoints import get_latest_weights
+from .trainer2d import EfficientTrackTrainer
+from .trainer3d import HybridNetTrainer
+
+
+def train_efficienttrack(mode, project_name, num_epochs, weights,
+                         run_name=None, streamlit_widgets=None,
+                         cameras_to_use=None):
+    """mode in {'CenterDetect', 'KeypointDetect'}; returns final stats dict
+    or None (reference: jarvis/train_interface.py:52-121)."""
+    project = ProjectManager()
+    if not project.load(project_name):
+        return None
+    cfg = project.get_cfg()
+
+    train_set = Dataset2D(cfg, set="train", mode=mode,
+                          cameras_to_use=cameras_to_use)
+    val_set = Dataset2D(cfg, set="val", mode=mode,
+                        cameras_to_use=cameras_to_use)
+
+    if weights == "None":
+        weights = None
+    trainer = EfficientTrackTrainer(mode, cfg, weights=weights,
+                                    run_name=run_name)
+    if not trainer.found_weights:
+        clp.error("Could not load weights, aborting training!")
+        return None
+    return trainer.train(train_set, val_set, num_epochs,
+                         streamlitWidgets=streamlit_widgets)
+
+
+def train_hybridnet(project_name, num_epochs, weights_keypoint_detect,
+                    weights, mode="3D_only", run_name=None, finetune=False,
+                    streamlit_widgets=None, cameras_to_use=None):
+    """mode in {'all', 'bifpn', 'last_layers', '3D_only'}
+    (reference: jarvis/train_interface.py:124-213)."""
+    project = ProjectManager()
+    if not project.load(project_name):
+        return None
+    cfg = project.get_cfg()
+
+    train_set = Dataset3D(cfg, set="train", cameras_to_use=cameras_to_use)
+    val_set = Dataset3D(cfg, set="val", cameras_to_use=cameras_to_use)
+
+    if weights_keypoint_detect == "None":
+        weights_keypoint_detect = None
+    if weights == "None":
+        weights = None
+    if finetune:
+        cfg.HYBRIDNET.MAX_LEARNING_RATE = (
+            float(cfg.HYBRIDNET.MAX_LEARNING_RATE) / 10.0
+        )
+
+    trainer = HybridNetTrainer(
+        "train", cfg, weights=weights,
+        efficienttrack_weights=weights_keypoint_detect,
+        run_name=run_name, training_mode=mode,
+    )
+    return trainer.train(train_set, val_set, num_epochs,
+                         streamlitWidgets=streamlit_widgets)
+
+
+def get_latest_weights_path(project_name, module):
+    project = ProjectManager()
+    if not project.load(project_name):
+        return None
+    return get_latest_weights(project.get_cfg(), module)

@@ -1,0 +1,214 @@
+"""HybridNet (3D) trainer.
+
+Equivalent of the reference HybridNet convenience class
+(jarvis/hybridnet/hybridnet.py:31-388): masked voxel-MSE training with
+AdamW/SGD, OneCycle or plateau schedules, mm-accuracy (mean 3D distance to
+GT keypoints over labeled joints, :224-233), partial-freeze training modes
+('all'/'bifpn'/'last_layers'/'3D_only') implemented as optax.multi_transform
+label trees, checkpoints in both native .ckpt and reference .pth formats.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from tqdm import tqdm
+
+from ..dataset.loader import DataLoader
+from ..models.hybridnet import HybridNetBackbone, hybridnet_mse_loss
+from ..utils import clp
+from ..utils.logger import AverageMeter, NetLogger
+from . import checkpoints, optim
+
+
+def calculate_accuracy_mm(points3d: np.ndarray, gt: np.ndarray) -> float:
+    """Mean euclidean mm distance over labeled joints
+    (hybridnet.py:224-233)."""
+    labeled = np.any(gt != 0, axis=-1)
+    if not labeled.any():
+        return -1.0
+    dist = np.linalg.norm(gt - points3d, axis=-1)
+    return float(dist[labeled].mean())
+
+
+class HybridNetTrainer:
+    def __init__(self, mode: str, cfg, weights=None,
+                 efficienttrack_weights=None, run_name=None,
+                 training_mode: str = "all"):
+        self.cfg = cfg
+        self.training_mode = training_mode
+        self.model = HybridNetBackbone(
+            num_joints=int(cfg.KEYPOINTDETECT.NUM_JOINTS),
+            model_size=cfg.KEYPOINTDETECT.MODEL_SIZE,
+            roi_cube_size=int(cfg.HYBRIDNET.ROI_CUBE_SIZE),
+            grid_spacing=int(cfg.HYBRIDNET.GRID_SPACING),
+        )
+        if run_name is None:
+            run_name = "Run_" + time.strftime("%Y%m%d-%H%M%S")
+        self.model_savepath = os.path.join(cfg.savePaths["HybridNet"],
+                                           run_name)
+        os.makedirs(self.model_savepath, exist_ok=True)
+        self.logger = NetLogger(
+            os.path.join(cfg.logPaths["HybridNet"], run_name))
+        self.lossMeter = AverageMeter()
+        self.accuracyMeter = AverageMeter()
+
+        from ..prediction.loaders import init_hybridnet_params
+
+        self.params = init_hybridnet_params(cfg)
+        loaded = checkpoints.load_hybridnet_params(
+            cfg, weights, init_params=self.params,
+            efficienttrack_weights=efficienttrack_weights,
+        )
+        if loaded is not None:
+            self.params = loaded
+
+    def set_training_mode(self, mode: str) -> None:
+        """'all' | 'bifpn' | 'last_layers' | '3D_only'
+        (reference: hybridnet.py:367-388)."""
+        self.training_mode = mode
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _train_step(self, params, opt_state, lr_scale, rng, batch):
+        def loss_fn(p):
+            hm_final, _, points3d, _ = self.model.apply(
+                {"params": p},
+                batch["imgs"], batch["center_hm"], batch["center3d"],
+                batch["camera_matrices"], batch["intrinsics"],
+                batch["distortions"],
+                deterministic=False, rngs={"dropout": rng},
+            )
+            gt = batch["heatmap3d"].transpose(0, 2, 3, 4, 1)
+            return hybridnet_mse_loss(hm_final, gt), points3d
+
+        (loss, pts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: u * lr_scale, updates)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, pts
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _eval_step(self, params, batch):
+        hm_final, _, points3d, _ = self.model.apply(
+            {"params": params},
+            batch["imgs"], batch["center_hm"], batch["center3d"],
+            batch["camera_matrices"], batch["intrinsics"],
+            batch["distortions"],
+        )
+        gt = batch["heatmap3d"].transpose(0, 2, 3, 4, 1)
+        return hybridnet_mse_loss(hm_final, gt), points3d
+
+    def train(self, training_set, validation_set, num_epochs,
+              start_epoch=0, streamlitWidgets=None) -> dict:
+        cfg = self.cfg.HYBRIDNET
+        train_loader = DataLoader(
+            training_set, batch_size=int(cfg.BATCH_SIZE), shuffle=True)
+        val_loader = DataLoader(
+            validation_set, batch_size=int(cfg.BATCH_SIZE), shuffle=False)
+        steps_per_epoch = len(train_loader)
+        use_onecycle = bool(cfg.USE_ONECYLCLE)
+        labels = optim.hybridnet_freeze_labels(
+            self.params, self.training_mode)
+        if use_onecycle:
+            schedule = optim.onecycle_schedule(
+                float(cfg.MAX_LEARNING_RATE), steps_per_epoch * num_epochs)
+            self.tx = optim.make_optimizer(cfg.OPTIMIZER, schedule, labels)
+            plateau = None
+        else:
+            self.tx = optim.make_optimizer(
+                cfg.OPTIMIZER, float(cfg.MAX_LEARNING_RATE), labels)
+            plateau = optim.PlateauScheduler(float(cfg.MAX_LEARNING_RATE))
+        opt_state = self.tx.init(self.params)
+
+        rng = jax.random.PRNGKey(2)
+        lr_scale = 1.0
+        results = {"train_loss": 0, "train_acc": 0,
+                   "val_loss": 0, "val_acc": 0}
+        step = 0
+
+        def to_batch(b):
+            return {
+                "imgs": b["imgs"].astype(np.float32),
+                "center_hm": b["center_hm"],
+                "center3d": b["center3d"],
+                "heatmap3d": b["heatmap3d"].astype(np.float32),
+                "camera_matrices": b["camera_matrices"],
+                "intrinsics": b["intrinsics"],
+                "distortions": b["distortions"],
+            }
+
+        for epoch in range(start_epoch, num_epochs):
+            bar = tqdm(train_loader, total=steps_per_epoch)
+            for b in bar:
+                rng, sub = jax.random.split(rng)
+                self.params, opt_state, loss, pts = self._train_step(
+                    self.params, opt_state, lr_scale, sub, to_batch(b))
+                step += 1
+                acc = calculate_accuracy_mm(
+                    np.asarray(pts), np.asarray(b["keypoints3D"]))
+                self.lossMeter.update(float(loss))
+                if acc != -1:
+                    self.accuracyMeter.update(acc)
+                bar.set_description(
+                    "Epoch: {}/{}. Loss: {:.4f}. Acc: {:.2f}".format(
+                        epoch + 1, num_epochs, self.lossMeter.read(),
+                        self.accuracyMeter.read()))
+
+            if plateau is not None:
+                lr_scale = plateau.step(self.lossMeter.read()) / float(
+                    cfg.MAX_LEARNING_RATE)
+
+            self.logger.update_train_loss(self.lossMeter.read())
+            self.logger.update_train_accuracy(self.accuracyMeter.read())
+            results["train_loss"] = self.lossMeter.read()
+            results["train_acc"] = self.accuracyMeter.read()
+            self.lossMeter.reset()
+            self.accuracyMeter.reset()
+
+            if (epoch + 1) % int(cfg.CHECKPOINT_SAVE_INTERVAL) == 0 \
+                    and epoch + 1 < num_epochs:
+                self.save_checkpoint(
+                    f"HybridNet-{self.cfg.KEYPOINTDETECT.MODEL_SIZE}"
+                    f"_Epoch_{epoch+1}")
+            if epoch + 1 == num_epochs:
+                self.save_checkpoint(
+                    f"HybridNet-{self.cfg.KEYPOINTDETECT.MODEL_SIZE}_final")
+
+            if epoch % int(cfg.VAL_INTERVAL) == 0:
+                for b in val_loader:
+                    loss, pts = self._eval_step(self.params, to_batch(b))
+                    acc = calculate_accuracy_mm(
+                        np.asarray(pts), np.asarray(b["keypoints3D"]))
+                    self.lossMeter.update(float(loss))
+                    if acc != -1:
+                        self.accuracyMeter.update(acc)
+                print("Val. Epoch: {}/{}. Loss: {:.3f}. Acc: {:.2f}".format(
+                    epoch + 1, num_epochs, self.lossMeter.read(),
+                    self.accuracyMeter.read()))
+                results["val_loss"] = self.lossMeter.read()
+                results["val_acc"] = self.accuracyMeter.read()
+                self.logger.update_val_loss(self.lossMeter.read())
+                self.logger.update_val_accuracy(self.accuracyMeter.read())
+                self.lossMeter.reset()
+                self.accuracyMeter.reset()
+
+            if streamlitWidgets is not None:
+                streamlitWidgets[0].progress((epoch + 1) / num_epochs)
+
+        return results
+
+    def save_checkpoint(self, name: str) -> None:
+        checkpoints.save_checkpoint(
+            self.params, os.path.join(self.model_savepath, name + ".ckpt"))
+        try:
+            checkpoints.save_torch_checkpoint(
+                self.params, os.path.join(self.model_savepath, name + ".pth"),
+                self.cfg.KEYPOINTDETECT.MODEL_SIZE, kind="hybridnet")
+        except ImportError:
+            clp.warning("torch unavailable; skipped .pth export")

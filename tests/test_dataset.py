@@ -1,0 +1,120 @@
+"""Dataset layer tests on the real Example_Dataset fixture."""
+
+import numpy as np
+import pytest
+
+from jarvis_hybridnet_tpu.config import ProjectManager
+
+
+@pytest.fixture(scope="module")
+def cfg(reference_dir):
+    pm = ProjectManager(parent_dir=str(reference_dir))
+    assert pm.load("Example_Project")
+    return pm.get_cfg()
+
+
+def test_dataset2d_center(cfg):
+    from jarvis_hybridnet_tpu.dataset.dataset2d import Dataset2D
+
+    ds = Dataset2D(cfg, set="val", mode="CenterDetect")
+    assert len(ds) > 0
+    img, targets, kps = ds[0]
+    size = int(cfg.CENTERDETECT.IMAGE_SIZE)
+    assert img.shape == (size, size, 3)
+    assert targets[0].shape == (1, size // 4, size // 4)
+    assert targets[1].shape == (1, size // 2, size // 2)
+    # peak of the target at the keypoint location (scaled)
+    y, x = np.unravel_index(targets[1][0].argmax(), targets[1][0].shape)
+    assert abs(x - kps[0][0] / 2) <= 2 and abs(y - kps[0][1] / 2) <= 2
+    assert targets[1].max() == pytest.approx(255.0, abs=1.0)
+
+
+def test_dataset2d_keypoints(cfg):
+    from jarvis_hybridnet_tpu.dataset.dataset2d import Dataset2D
+
+    ds = Dataset2D(cfg, set="val", mode="KeypointDetect")
+    img, targets, kps = ds[0]
+    bbox = int(cfg.KEYPOINTDETECT.BOUNDING_BOX_SIZE)
+    J = int(cfg.KEYPOINTDETECT.NUM_JOINTS)
+    assert img.shape == (bbox, bbox, 3)
+    assert targets[1].shape == (J, bbox // 2, bbox // 2)
+    kp = kps.reshape(-1, 3)
+    labeled = np.any(kp[:, :2] != 0, axis=1)
+    assert labeled.sum() > 5
+    # each labeled joint's target peaks at its (half-res) location
+    for j in np.where(labeled)[0][:5]:
+        y, x = np.unravel_index(targets[1][j].argmax(), targets[1][j].shape)
+        assert abs(x - kp[j][0] / 2) <= 2 and abs(y - kp[j][1] / 2) <= 2
+
+
+def test_dataset3d(cfg):
+    from jarvis_hybridnet_tpu.dataset.dataset3d import Dataset3D
+
+    ds = Dataset3D(cfg, set="val")
+    assert len(ds) > 0
+    assert ds.num_cameras == 12
+    s = ds[0]
+    C = 12
+    bbox = int(cfg.KEYPOINTDETECT.BOUNDING_BOX_SIZE)
+    J = int(cfg.KEYPOINTDETECT.NUM_JOINTS)
+    g2 = int(cfg.HYBRIDNET.ROI_CUBE_SIZE / cfg.HYBRIDNET.GRID_SPACING / 2)
+    assert s["imgs"].shape == (C, bbox, bbox, 3)
+    assert s["heatmap3d"].shape == (J, g2, g2, g2)
+    assert s["camera_matrices"].shape == (C, 4, 3)
+
+    # GT keypoints fit inside the cube around center3d
+    kp = s["keypoints3D"]
+    labeled = kp[np.any(kp != 0, axis=1)]
+    rel = np.abs(labeled - s["center3d"])
+    assert rel.max() <= cfg.HYBRIDNET.ROI_CUBE_SIZE / 2 + 1
+
+    # 3D heatmap peaks at the voxel positions of the keypoints
+    vox = (kp + cfg.HYBRIDNET.ROI_CUBE_SIZE / 2 - s["center3d"]) \
+        / cfg.HYBRIDNET.GRID_SPACING / 2
+    for j in range(3):
+        if not np.any(kp[j] != 0):
+            continue
+        peak = np.unravel_index(
+            s["heatmap3d"][j].argmax(), s["heatmap3d"][j].shape
+        )
+        assert np.abs(np.array(peak) - vox[j]).max() <= 1.0
+
+
+def test_dataset3d_gt_reprojects(cfg):
+    """Triangulated GT 3D keypoints reproject onto the 2D annotations."""
+    from jarvis_hybridnet_tpu.dataset.dataset3d import Dataset3D
+    from jarvis_hybridnet_tpu.utils.reprojection import project_points
+
+    ds = Dataset3D(cfg, set="val")
+    key = ds.frameset_keys[0]
+    fs = ds.dataset["framesets"][key]
+    rig = ds.rigs[fs["datasetName"]]
+    kp3d = ds.keypoints3D[0]
+
+    errs = []
+    for ci, img_id in enumerate(fs["frames"]):
+        _, kps = ds._load_annotations(img_id, is_id=True)
+        kp2d = kps.reshape(-1, 3)
+        proj = np.asarray(
+            project_points(
+                kp3d.astype(np.float32), rig.camera_matrices,
+                rig.intrinsics, rig.distortions,
+            )
+        )[:, ci]
+        for j in range(kp3d.shape[0]):
+            if np.any(kp3d[j] != 0) and (kp2d[j][0] != 0 or kp2d[j][1] != 0):
+                errs.append(np.linalg.norm(proj[j] - kp2d[j][:2]))
+    errs = np.array(errs)
+    assert np.median(errs) < 3.0, np.median(errs)
+
+
+def test_dataloader_batches(cfg):
+    from jarvis_hybridnet_tpu.dataset.dataset2d import Dataset2D
+    from jarvis_hybridnet_tpu.dataset.loader import DataLoader
+
+    ds = Dataset2D(cfg, set="val", mode="CenterDetect")
+    dl = DataLoader(ds, batch_size=4, shuffle=True, drop_last=True)
+    batch = next(iter(dl))
+    img, targets, kps = batch
+    assert img.shape[0] == 4
+    assert targets[0].shape[0] == 4

@@ -1,0 +1,116 @@
+"""End-to-end driver tests: video -> prediction CSV through the public
+predict2D/predict3D entry points, on a temp project wired to the real
+Example_Dataset fixture."""
+
+import csv
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+PRETRAIN_DIR = "/root/reference/pretrained/MonkeyHand"
+
+
+@pytest.fixture(scope="module")
+def project_dir(tmp_path_factory, reference_dir):
+    root = tmp_path_factory.mktemp("jarvis_project")
+    (root / "datasets").mkdir()
+    os.symlink(
+        str(reference_dir / "datasets" / "Example_Dataset"),
+        str(root / "datasets" / "Example_Dataset"),
+    )
+    proj = root / "projects" / "TestProj"
+    proj.mkdir(parents=True)
+    shutil.copyfile(
+        str(reference_dir / "projects" / "Example_Project" / "config.yaml"),
+        str(proj / "config.yaml"),
+    )
+    return root
+
+
+@pytest.fixture(scope="module")
+def recordings(project_dir, reference_dir):
+    """Per-camera MJPG videos built from one real frameset (4 frames each)."""
+    ds_dir = reference_dir / "datasets" / "Example_Dataset"
+    with open(ds_dir / "annotations" / "instances_val.json") as f:
+        data = json.load(f)
+    imgs = {im["id"]: im for im in data["images"]}
+    key, fs = next(iter(data["framesets"].items()))
+    rec_dir = project_dir / "recording"
+    rec_dir.mkdir()
+    first_frame = {}
+    for img_id in fs["frames"]:
+        file_name = imgs[img_id]["file_name"]
+        camera = file_name.split("/")[-2]
+        frame = cv2.imread(str(ds_dir / "val" / file_name))
+        first_frame[camera] = frame
+        w = cv2.VideoWriter(
+            str(rec_dir / f"{camera}.avi"),
+            cv2.VideoWriter_fourcc(*"MJPG"), 30,
+            (frame.shape[1], frame.shape[0]),
+        )
+        for _ in range(4):
+            w.write(frame)
+        w.release()
+    return rec_dir, first_frame
+
+
+def test_predict2d_driver(project_dir, recordings, monkeypatch):
+    from jarvis_hybridnet_tpu.prediction.predict2d import predict2D
+    from jarvis_hybridnet_tpu.utils.param_classes import Predict2DParams
+
+    monkeypatch.setenv("JARVIS_PARENT_DIR", str(project_dir))
+    rec_dir, frames = recordings
+    video = str(rec_dir / "Camera_B.avi")
+
+    out = predict2D(Predict2DParams(
+        project_name="TestProj",
+        recording_path=video,
+        weights_center_detect=f"{PRETRAIN_DIR}/EfficientTrack_Center-small.pth",
+        weights_keypoint_detect=(
+            f"{PRETRAIN_DIR}/EfficientTrack_Keypoints-small.pth"),
+    ))
+    assert out is not None
+    assert os.path.isfile(os.path.join(out, "info.yaml"))
+    with open(os.path.join(out, "data2D.csv")) as f:
+        rows = list(csv.reader(f))
+    # 2 header rows + 4 frames
+    assert len(rows) == 6
+    assert rows[0][0] == "Pinky_T" and rows[1][:3] == ["x", "y", "confidence"]
+    assert len(rows[2]) == 23 * 3
+    vals = np.array(rows[2], dtype=np.float64)
+    assert np.isfinite(vals).all()
+    # the 4 frames share content (modulo MJPG re-encode noise) -> keypoints
+    # must agree closely across frames
+    all_vals = np.array(rows[2:], dtype=np.float64).reshape(4, 23, 3)
+    spread = np.abs(all_vals[:, :, :2] - all_vals[0:1, :, :2])
+    conf = all_vals[:, :, 2]
+    assert np.median(spread[conf[..., None].repeat(2, -1) > 0.3]) <= 2.0
+
+
+def test_predict3d_driver(project_dir, recordings, monkeypatch):
+    from jarvis_hybridnet_tpu.prediction.predict3d import predict3D
+    from jarvis_hybridnet_tpu.utils.param_classes import Predict3DParams
+
+    monkeypatch.setenv("JARVIS_PARENT_DIR", str(project_dir))
+    rec_dir, _ = recordings
+
+    out = predict3D(Predict3DParams(
+        project_name="TestProj",
+        recording_path=str(rec_dir),
+        weights_center_detect=f"{PRETRAIN_DIR}/EfficientTrack_Center-small.pth",
+        weights_hybridnet=None,  # no pretrained 3D zoo entry exists
+    ))
+    assert out is not None
+    with open(os.path.join(out, "data3D.csv")) as f:
+        rows = list(csv.reader(f))
+    assert len(rows) == 6
+    assert rows[1][:4] == ["x", "y", "z", "confidence"]
+    assert len(rows[2]) == 23 * 4
+    vals = np.array(rows[2], dtype=np.float64)
+    # center-detect gate passes on real frames -> non-NaN rows
+    assert np.isfinite(vals).all()

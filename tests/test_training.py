@@ -1,0 +1,141 @@
+"""Training-loop smoke + correctness tests (tiny subsets, CPU)."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from jarvis_hybridnet_tpu.config import ProjectManager
+
+
+@pytest.fixture(scope="module")
+def project(tmp_path_factory, reference_dir):
+    root = tmp_path_factory.mktemp("train_project")
+    (root / "datasets").mkdir()
+    os.symlink(
+        str(reference_dir / "datasets" / "Example_Dataset"),
+        str(root / "datasets" / "Example_Dataset"),
+    )
+    proj = root / "projects" / "TrainProj"
+    proj.mkdir(parents=True)
+    shutil.copyfile(
+        str(reference_dir / "projects" / "Example_Project" / "config.yaml"),
+        str(proj / "config.yaml"),
+    )
+    pm = ProjectManager(parent_dir=str(root))
+    assert pm.load("TrainProj")
+    return pm
+
+
+def test_onecycle_matches_torch():
+    torch = pytest.importorskip("torch")
+    from jarvis_hybridnet_tpu.training.optim import onecycle_schedule
+
+    total = 50
+    max_lr = 0.01
+    sched = onecycle_schedule(max_lr, total)
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=max_lr)
+    tsched = torch.optim.lr_scheduler.OneCycleLR(
+        opt, max_lr, total_steps=total, div_factor=100
+    )
+    for i in range(total):
+        ours = float(sched(i))
+        theirs = opt.param_groups[0]["lr"]
+        assert abs(ours - theirs) < 1e-6 * max(theirs, 1e-3), (i, ours, theirs)
+        opt.step()
+        tsched.step()
+
+
+def test_plateau_scheduler():
+    from jarvis_hybridnet_tpu.training.optim import PlateauScheduler
+
+    s = PlateauScheduler(0.01, factor=0.2, patience=3, min_lr=5e-5)
+    s.step(1.0)  # sets best
+    for _ in range(3):
+        s.step(1.0)  # within patience
+    assert s.lr == pytest.approx(0.01)
+    s.step(1.0)  # 4th bad epoch -> reduce (torch: num_bad > patience)
+    assert s.lr == pytest.approx(0.002)
+
+
+def test_trainer2d_smoke(project):
+    from jarvis_hybridnet_tpu.dataset.dataset2d import Dataset2D
+    from jarvis_hybridnet_tpu.training.trainer2d import EfficientTrackTrainer
+
+    cfg = project.get_cfg()
+    cfg.CENTERDETECT.IMAGE_SIZE = 128
+    cfg.CENTERDETECT.BATCH_SIZE = 2
+
+    train_set = Dataset2D(cfg, set="val", mode="CenterDetect")
+    train_set.image_ids = train_set.image_ids[:4]
+    val_set = Dataset2D(cfg, set="val", mode="CenterDetect")
+    val_set.image_ids = val_set.image_ids[:2]
+
+    trainer = EfficientTrackTrainer("CenterDetect", cfg, weights=None,
+                                    run_name="TestRun")
+    results = trainer.train(train_set, val_set, num_epochs=1)
+    assert np.isfinite(results["train_loss"])
+    final = os.path.join(trainer.model_savepath,
+                         "EfficientTrack-small_final.ckpt")
+    assert os.path.isfile(final)
+    assert os.path.isfile(final.replace(".ckpt", ".pth"))
+
+    # exported .pth must load strict into the reference architecture
+    import sys
+
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from jarvis.efficienttrack.model import EfficientTrackBackbone as TorchET
+
+    tmodel = TorchET(None, model_size="small", output_channels=1)
+    sd = torch.load(final.replace(".ckpt", ".pth"), weights_only=True)
+    tmodel.load_state_dict(sd, strict=True)
+
+
+def test_trainer3d_freeze_modes(project):
+    """'3D_only' must leave the 2D net untouched and update the V2V net."""
+    from jarvis_hybridnet_tpu.dataset.dataset3d import Dataset3D
+    from jarvis_hybridnet_tpu.training.trainer3d import HybridNetTrainer
+
+    cfg = project.get_cfg()
+    cfg.HYBRIDNET.BATCH_SIZE = 1
+
+    train_set = Dataset3D(cfg, set="val")
+    train_set.frameset_keys = train_set.frameset_keys[:1]
+    train_set.keypoints3D = train_set.keypoints3D[:1]
+    val_set = Dataset3D(cfg, set="val")
+    val_set.frameset_keys = val_set.frameset_keys[:1]
+    val_set.keypoints3D = val_set.keypoints3D[:1]
+
+    trainer = HybridNetTrainer(
+        "train", cfg, weights=None,
+        efficienttrack_weights=(
+            "/root/reference/pretrained/MonkeyHand/"
+            "EfficientTrack_Keypoints-small.pth"),
+        run_name="TestRun", training_mode="3D_only",
+    )
+    import jax
+
+    before = jax.tree.map(np.array, trainer.params)
+    results = trainer.train(train_set, val_set, num_epochs=1)
+    assert np.isfinite(results["train_loss"])
+
+    after = trainer.params
+    # effTrack frozen bitwise
+    for (pa, a), (pb, bv) in zip(
+        jax.tree_util.tree_flatten_with_path(before["effTrack"])[0],
+        jax.tree_util.tree_flatten_with_path(after["effTrack"])[0],
+    ):
+        assert np.array_equal(a, np.asarray(bv)), pa
+    # v2vNet updated
+    changed = any(
+        not np.array_equal(a, np.asarray(bv))
+        for (_, a), (_, bv) in zip(
+            jax.tree_util.tree_flatten_with_path(before["v2vNet"])[0],
+            jax.tree_util.tree_flatten_with_path(after["v2vNet"])[0],
+        )
+    )
+    assert changed
