@@ -1,0 +1,91 @@
+"""Benchmark: 3D poses/sec/chip on the 12-camera rig (north-star metric).
+
+Runs the full fused predict3D cascade — 12x 1280x1024 uint8 frames ->
+CenterDetect -> weighted DLT -> crops -> KeypointDetect -> voxel
+reprojection -> V2V -> soft-argmax — on the Example_Project configuration
+(23 joints, 256^2 crops, 72^3 grid) in bfloat16, batched over framesets,
+and prints one JSON line.
+
+The reference publishes no numbers (BASELINE.md); vs_baseline is therefore
+reported against the recorded reference measurement when BASELINE.json
+gains one, else null.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from jarvis_hybridnet_tpu.config import ProjectManager
+    from jarvis_hybridnet_tpu.prediction.loaders import make_predictor3d
+    from jarvis_hybridnet_tpu.utils.calibration import load_camera_rigs
+
+    pm = ProjectManager(parent_dir="/root/reference")
+    assert pm.load("Example_Project"), "Example_Project fixture missing"
+    cfg = pm.get_cfg()
+    cfg.DATASET.IMAGE_SIZE = [1280, 1024]
+
+    rig = load_camera_rigs("/root/reference/datasets/Example_Dataset")[
+        "12Cam_Ralph"
+    ]
+    predictor = make_predictor3d(
+        cfg,
+        rig,
+        weights_center_detect=(
+            "/root/reference/pretrained/MonkeyHand/"
+            "EfficientTrack_Center-small.pth"),
+        weights_hybridnet=None,
+    )
+
+    T, C, H, W = 8, 12, 1024, 1280
+    rng = np.random.default_rng(0)
+    # real frames so the detection gate passes
+    import cv2
+
+    frame = cv2.imread(
+        "/root/reference/datasets/Example_Dataset/val/12Cam_Ralph/"
+        "Ralph_21072021/Sphere/Camera_B/Frame_58616.jpg"
+    )
+    frame = frame[:, :, ::-1]  # RGB
+    imgs = np.broadcast_to(
+        frame, (T, C, H, W, 3)
+    ).astype(np.uint8).copy()
+    imgs = jax.device_put(imgs)
+
+    # compile + warmup
+    out = predictor(imgs)
+    jax.block_until_ready(out)
+
+    iters = 10
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = predictor(imgs)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - start
+
+    poses_per_sec = iters * T / elapsed
+
+    baseline = None
+    try:
+        with open("BASELINE.json") as f:
+            published = json.load(f).get("published", {})
+        baseline = published.get("poses_per_sec")
+    except Exception:
+        pass
+    vs = poses_per_sec / baseline if baseline else None
+
+    print(json.dumps({
+        "metric": "predict3D poses/sec/chip (12 cams, 23 joints, 72^3 grid)",
+        "value": round(poses_per_sec, 3),
+        "unit": "poses/s",
+        "vs_baseline": vs,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

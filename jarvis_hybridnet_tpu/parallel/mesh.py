@@ -1,0 +1,53 @@
+"""Device meshes and shardings for multi-chip scale-out.
+
+The reference is single-process/single-GPU (SURVEY.md §2 parallelism
+checklist); scale-out here is new TPU-native capability built on
+``jax.sharding``: a ``(data, cameras)`` mesh where the frame/time axis is
+data-parallel and the camera axis of the multi-view 2D pass can be sharded
+across chips, with the camera-mean reduction of the reprojection layer
+riding ICI collectives inserted by XLA (GSPMD).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: int | None = None,
+    n_cameras: int = 1,
+    devices=None,
+) -> Mesh:
+    """Create a (data, cameras) mesh. Defaults to all devices on 'data'."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_cameras
+    grid = np.asarray(devices[: n_data * n_cameras]).reshape(
+        n_data, n_cameras
+    )
+    return Mesh(grid, ("data", "cameras"))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis sharded over 'data' (frames / batch)."""
+    return NamedSharding(mesh, P("data"))
+
+
+def frameset_sharding(mesh: Mesh) -> NamedSharding:
+    """(T, C, ...) batches: frames over 'data', cameras over 'cameras'."""
+    return NamedSharding(mesh, P("data", "cameras"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params(params, mesh: Mesh):
+    """Replicate a parameter pytree across the mesh."""
+    return jax.device_put(params, replicated(mesh))
+
+
+def shard_batch(batch, mesh: Mesh, spec: P = P("data")):
+    return jax.device_put(batch, NamedSharding(mesh, spec))

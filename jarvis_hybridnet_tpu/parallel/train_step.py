@@ -1,0 +1,64 @@
+"""Sharded training steps (pjit over a device mesh).
+
+Data parallelism: framesets sharded over the 'data' mesh axis, params and
+optimizer state replicated; XLA/GSPMD inserts the gradient all-reduce over
+ICI. The camera axis of the multi-view input can additionally be sharded
+over the 'cameras' axis (the natural "sequence-parallel" analog of this
+workload — SURVEY.md §5), which shards the per-camera 2D network pass and
+turns the reprojection layer's camera-mean into a cross-chip reduction.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.hybridnet import hybridnet_mse_loss
+
+
+def make_hybridnet_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    shard_cameras: bool = False,
+):
+    """Returns jitted ``step(params, opt_state, rng, batch) ->
+    (params, opt_state, loss)`` with dp (+ optional camera) shardings."""
+    repl = NamedSharding(mesh, P())
+    cam_axis = "cameras" if shard_cameras else None
+    batch_shardings = {
+        "imgs": NamedSharding(mesh, P("data", cam_axis)),
+        "center_hm": NamedSharding(mesh, P("data", cam_axis)),
+        "center3d": NamedSharding(mesh, P("data")),
+        "heatmap3d": NamedSharding(mesh, P("data")),
+        "camera_matrices": NamedSharding(mesh, P("data", cam_axis)),
+        "intrinsics": NamedSharding(mesh, P("data", cam_axis)),
+        "distortions": NamedSharding(mesh, P("data", cam_axis)),
+    }
+
+    def step(params, opt_state, rng, batch):
+        def loss_fn(p):
+            hm_final, _, _, _ = model.apply(
+                {"params": p},
+                batch["imgs"], batch["center_hm"], batch["center3d"],
+                batch["camera_matrices"], batch["intrinsics"],
+                batch["distortions"],
+                deterministic=False, rngs={"dropout": rng},
+            )
+            gt = batch["heatmap3d"].transpose(0, 2, 3, 4, 1)
+            return hybridnet_mse_loss(hm_final, gt)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, repl, batch_shardings),
+        out_shardings=(repl, repl, repl),
+    )

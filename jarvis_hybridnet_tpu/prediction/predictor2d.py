@@ -57,6 +57,10 @@ def build_predict2d(
 
     @jax.jit
     def predict(imgs: jnp.ndarray):
+        if imgs.dtype == jnp.uint8:
+            # frames ship to the device as uint8 (4x less PCIe/H2D traffic);
+            # the [0,1] scaling fuses into the normalize below
+            imgs = imgs.astype(jnp.float32) / 255.0
         T, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
         scale_x = W / float(center_size)
         scale_y = H / float(center_size)

@@ -62,6 +62,8 @@ def build_predict3d(
 
     @jax.jit
     def predict(imgs: jnp.ndarray):
+        if imgs.dtype == jnp.uint8:
+            imgs = imgs.astype(jnp.float32) / 255.0
         T, C, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2], imgs.shape[3]
         scale = jnp.asarray(
             [W / float(center_size), H / float(center_size)], jnp.float32

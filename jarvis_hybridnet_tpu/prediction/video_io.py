@@ -85,7 +85,9 @@ class MultiCameraReader:
         remaining = self.number_frames
         while remaining > 0:
             n = min(self.batch_size, remaining)
-            batch = np.zeros((self.batch_size, C, H, W, 3), np.float32)
+            # uint8 RGB batches: the device-side predictor performs the /255
+            # scaling, so host->device transfer is 4x smaller than float32
+            batch = np.zeros((self.batch_size, C, H, W, 3), np.uint8)
             ok = n
             for t in range(n):
                 for c, cap in enumerate(self.caps):
@@ -93,8 +95,7 @@ class MultiCameraReader:
                     if not ret:
                         ok = t
                         break
-                    # BGR -> RGB, [0,1] float (predict3D.py:79-80)
-                    batch[t, c] = img[:, :, ::-1].astype(np.float32) / 255.0
+                    batch[t, c] = img[:, :, ::-1]  # BGR -> RGB
                 if ok == t:
                     break
             if ok == 0:
