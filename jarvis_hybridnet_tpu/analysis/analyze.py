@@ -1,0 +1,102 @@
+"""Validation-set accuracy analysis.
+
+Equivalent of the reference analyze_validation_data
+(jarvis/analysis/analyze.py:22-96): runs the fused 3D predictor over the
+val split (full frames, analysisMode) and writes ``frame_names.csv``,
+``points_HybridNet.csv`` and ``points_GroundTruth.csv`` to
+``projects/<p>/analysis/Validation_Predictions_<ts>/``. Framesets the
+network cannot detect are excluded (with a warning), like the reference.
+This is the de-facto accuracy regression harness (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+from tqdm import tqdm
+
+from ..config.project_manager import ProjectManager
+from ..dataset.dataset3d import Dataset3D
+from ..prediction.loaders import make_predictor3d
+from ..utils import clp
+
+
+def analyze_validation_data(
+    project_name,
+    weights_center="latest",
+    weights_hybridnet="latest",
+    cameras_to_use=None,
+    progress_bar=None,
+    frame_batch=4,
+):
+    project = ProjectManager()
+    if not project.load(project_name):
+        return None
+    cfg = project.get_cfg()
+
+    output_dir = os.path.join(
+        project.parent_dir, cfg.PROJECTS_ROOT_PATH, project_name,
+        "analysis", f'Validation_Predictions_{time.strftime("%Y%m%d-%H%M%S")}',
+    )
+    os.makedirs(output_dir)
+
+    dataset = Dataset3D(cfg, set="val", analysisMode=True,
+                        cameras_to_use=cameras_to_use)
+
+    points_net, points_gt, filenames = [], [], []
+    # one predictor per calibration session (camera matrices are baked into
+    # the jitted graph); typically there is a single session
+    predictors = {}
+
+    n = len(dataset)
+    buf, metas = [], []
+
+    def flush():
+        if not buf:
+            return
+        name = metas[0][1]
+        if name not in predictors:
+            predictors[name] = make_predictor3d(
+                cfg, dataset.rigs[name], weights_center, weights_hybridnet
+            )
+        imgs = np.stack([b for b, m in zip(buf, metas) if m[1] == name])
+        pts, conf, valid = predictors[name](imgs)
+        pts, valid = np.asarray(pts), np.asarray(valid)
+        for i, (sample_meta, p, v) in enumerate(zip(metas, pts, valid)):
+            kp3d, _, fname = sample_meta[0], sample_meta[1], sample_meta[2]
+            if v:
+                points_net.append(p)
+                points_gt.append(kp3d)
+                filenames.append(fname)
+        buf.clear()
+        metas.clear()
+
+    for idx in tqdm(range(n)):
+        s = dataset[idx]
+        if metas and metas[0][1] != s["dataset_name"]:
+            flush()
+        buf.append(s["imgs"])
+        metas.append((s["keypoints3D"], s["dataset_name"], s["file_name"]))
+        if len(buf) == frame_batch:
+            flush()
+        if progress_bar is not None:
+            progress_bar.progress((idx + 1) / n)
+    flush()
+
+    clp.success("Successfully analysed all validation frames!")
+    if len(points_net) != n:
+        clp.warning(
+            f"Network could not detect instance in {n - len(points_net)} "
+            "frameSets. Those were not included in the output files!"
+        )
+
+    J = int(cfg.KEYPOINTDETECT.NUM_JOINTS)
+    np.savetxt(os.path.join(output_dir, "frame_names.csv"),
+               np.array(filenames), delimiter=",", fmt="%s")
+    np.savetxt(os.path.join(output_dir, "points_HybridNet.csv"),
+               np.array(points_net).reshape(-1, J * 3), delimiter=",")
+    np.savetxt(os.path.join(output_dir, "points_GroundTruth.csv"),
+               np.array(points_gt).reshape(-1, J * 3), delimiter=",")
+    return output_dir

@@ -22,12 +22,16 @@ from .trainer3d import HybridNetTrainer
 def train_efficienttrack(mode, project_name, num_epochs, weights,
                          run_name=None, streamlit_widgets=None,
                          cameras_to_use=None):
-    """mode in {'CenterDetect', 'KeypointDetect'}; returns final stats dict
-    or None (reference: jarvis/train_interface.py:52-121)."""
+    """mode in {'CenterDetect', 'KeypointDetect'}; returns True on success
+    (reference: jarvis/train_interface.py:52-121)."""
     project = ProjectManager()
     if not project.load(project_name):
-        return None
+        return False
     cfg = project.get_cfg()
+    if num_epochs is None:
+        num_epochs = int(cfg[mode.upper()].NUM_EPOCHS)
+    clp.info(f"Training {mode} on project {project_name} for "
+             f"{num_epochs} epochs!")
 
     train_set = Dataset2D(cfg, set="train", mode=mode,
                           cameras_to_use=cameras_to_use)
@@ -40,9 +44,16 @@ def train_efficienttrack(mode, project_name, num_epochs, weights,
                                     run_name=run_name)
     if not trainer.found_weights:
         clp.error("Could not load weights, aborting training!")
-        return None
-    return trainer.train(train_set, val_set, num_epochs,
-                         streamlitWidgets=streamlit_widgets)
+        return False
+    results = trainer.train(train_set, val_set, num_epochs,
+                            streamlitWidgets=streamlit_widgets)
+    clp.success("Successfully finished training!")
+    print("Final Stats:")
+    print(f'Training Loss: {results["train_loss"]}')
+    print(f'Training Accuracy [px]: {results["train_acc"]}')
+    print(f'Validation Loss: {results["val_loss"]}')
+    print(f'Validation Accuracy [px]: {results["val_acc"]}')
+    return True
 
 
 def train_hybridnet(project_name, num_epochs, weights_keypoint_detect,
@@ -52,8 +63,12 @@ def train_hybridnet(project_name, num_epochs, weights_keypoint_detect,
     (reference: jarvis/train_interface.py:124-213)."""
     project = ProjectManager()
     if not project.load(project_name):
-        return None
+        return False
     cfg = project.get_cfg()
+    if num_epochs is None:
+        num_epochs = int(cfg.HYBRIDNET.NUM_EPOCHS)
+    clp.info(f"Training HybridNet ({mode}) on project {project_name} for "
+             f"{num_epochs} epochs!")
 
     train_set = Dataset3D(cfg, set="train", cameras_to_use=cameras_to_use)
     val_set = Dataset3D(cfg, set="val", cameras_to_use=cameras_to_use)
@@ -72,8 +87,15 @@ def train_hybridnet(project_name, num_epochs, weights_keypoint_detect,
         efficienttrack_weights=weights_keypoint_detect,
         run_name=run_name, training_mode=mode,
     )
-    return trainer.train(train_set, val_set, num_epochs,
-                         streamlitWidgets=streamlit_widgets)
+    results = trainer.train(train_set, val_set, num_epochs,
+                            streamlitWidgets=streamlit_widgets)
+    clp.success("Successfully finished training!")
+    print("Final Stats:")
+    print(f'Training Loss: {results["train_loss"]}')
+    print(f'Training Accuracy [mm]: {results["train_acc"]}')
+    print(f'Validation Loss: {results["val_loss"]}')
+    print(f'Validation Accuracy [mm]: {results["val_acc"]}')
+    return True
 
 
 def get_latest_weights_path(project_name, module):

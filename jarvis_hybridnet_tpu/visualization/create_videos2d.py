@@ -1,0 +1,81 @@
+"""Overlay predicted 2D poses on a video
+(reference: jarvis/visualization/create_videos2D.py:19-79)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+from tqdm import tqdm
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from ..config.project_manager import ProjectManager
+from ..utils import clp
+from ..utils.param_classes import CreateVideos2DParams
+from ..utils.skeleton import get_skeleton
+from . import visualization_utils as utils
+
+
+def create_videos2D(params: CreateVideos2DParams) -> str | None:
+    project = ProjectManager()
+    if not project.load(params.project_name):
+        clp.error(f"Could not load project: {params.project_name}!")
+        return None
+    cfg = project.cfg
+
+    params.output_dir = os.path.join(
+        project.parent_dir, cfg.PROJECTS_ROOT_PATH, params.project_name,
+        "visualization", f'Videos_2D_{time.strftime("%Y%m%d-%H%M%S")}',
+    )
+    os.makedirs(params.output_dir, exist_ok=True)
+
+    cap = cv2.VideoCapture(params.recording_path)
+    cap.set(cv2.CAP_PROP_POS_FRAMES, params.frame_start)
+    img_size = [int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+                int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))]
+    frame_rate = cap.get(cv2.CAP_PROP_FPS)
+    stem = os.path.basename(params.recording_path).split(".")[0]
+    out = cv2.VideoWriter(
+        os.path.join(params.output_dir, stem + ".mp4"),
+        cv2.VideoWriter_fourcc("m", "p", "4", "v"), frame_rate,
+        (img_size[0], img_size[1]),
+    )
+
+    colors, line_idxs = get_skeleton(cfg)
+    header = np.genfromtxt(params.data_csv, delimiter=",", dtype=str,
+                           max_rows=2)
+    points2D_all = np.genfromtxt(params.data_csv, delimiter=",")
+    if header.ndim == 2 and header[1, 0] == "x":
+        points2D_all = points2D_all[2:]
+
+    total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    assert params.frame_start < total, "frame_start bigger than framecount!"
+    if params.number_frames == -1:
+        params.number_frames = total - params.frame_start
+    else:
+        assert params.frame_start + params.number_frames <= total
+
+    for frame_num in tqdm(range(params.number_frames)):
+        ret, img = cap.read()
+        if not ret:
+            break
+        points2D = points2D_all[frame_num].reshape(-1, 3)
+        if not np.isnan(points2D[0, 0]):
+            for line in line_idxs:
+                utils.draw_line(img, line, points2D, img_size,
+                                colors[line[1]])
+            for j, point in enumerate(points2D):
+                utils.draw_point(img, point, img_size, colors[j])
+        out.write(img)
+        if params.progress_bar is not None:
+            params.progress_bar.progress(
+                (frame_num + 1) / params.number_frames)
+
+    out.release()
+    cap.release()
+    return params.output_dir

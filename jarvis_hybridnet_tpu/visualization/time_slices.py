@@ -1,0 +1,62 @@
+"""Time-slice figure generator
+(reference: jarvis/visualization/time_slices.py:43-101): renders a row of 3D
+poses sampled every ``skip_number`` frames from a data3D.csv."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .visualize_dataset import set_axes_equal
+
+
+def plot_slices(csv_file, filename, start_frame, num_frames, skip_number,
+                colors=None, line_idxs=None, plot_azim=None, plot_elev=None,
+                interactive=False):
+    import matplotlib.pyplot as plt
+
+    if not os.path.isfile(csv_file):
+        print("3D Coordinate CSV file does not exist!")
+        return None
+    data = np.genfromtxt(csv_file, delimiter=",")
+    if np.isnan(data[0, 0]):
+        data = data[2:]
+    # drop confidence columns when present (x,y,z,confidence groups)
+    if data.shape[1] % 4 == 0:
+        data = np.delete(data, list(range(3, data.shape[1], 4)), axis=1)
+    data = data.reshape([data.shape[0], -1, 3])
+
+    J = data.shape[1]
+    if colors is None:
+        import matplotlib
+
+        cmap = matplotlib.colormaps.get_cmap("jet")
+        colors = [np.array(cmap(i / J))[:3] * 255 for i in range(J)]
+        line_idxs = line_idxs or []
+
+    projection = (plot_azim or 0.0, plot_elev or 0.0)
+    fig, axs = plt.subplots(1, num_frames, subplot_kw={"projection": "3d"})
+    if num_frames == 1:
+        axs = [axs]
+    for frame in range(num_frames):
+        ind = frame * skip_number + start_frame
+        ax = axs[frame]
+        ax.set_axis_off()
+        ax.margins(0)
+        ax.azim = projection[0]
+        ax.elev = projection[1]
+        for i, point in enumerate(data[ind]):
+            ax.scatter(point[0], point[1], point[2],
+                       color=tuple(np.array(colors[i]) / 255.0))
+        for line in line_idxs:
+            a, b = data[ind][line[0]], data[ind][line[1]]
+            ax.plot([a[0], b[0]], [a[1], b[1]], [a[2], b[2]],
+                    c=tuple(np.array(colors[line[1]]) / 255.0))
+        set_axes_equal(ax)
+        ax.autoscale_view("tight")
+    plt.subplots_adjust(wspace=0, hspace=0, right=1, left=0, top=1, bottom=0)
+    plt.savefig(filename, dpi=800)
+    if interactive:
+        plt.show()
+    return fig
