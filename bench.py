@@ -43,8 +43,8 @@ def main():
     )
 
     T, C, H, W = 8, 12, 1024, 1280
-    rng = np.random.default_rng(0)
-    # real frames so the detection gate passes
+    # real frames so the detection gate passes; two distinct buffers so the
+    # runtime cannot dedupe identical executions
     import cv2
 
     frame = cv2.imread(
@@ -52,20 +52,26 @@ def main():
         "Ralph_21072021/Sphere/Camera_B/Frame_58616.jpg"
     )
     frame = frame[:, :, ::-1]  # RGB
-    imgs = np.broadcast_to(
-        frame, (T, C, H, W, 3)
-    ).astype(np.uint8).copy()
-    imgs = jax.device_put(imgs)
+    imgs_a = jax.device_put(
+        np.broadcast_to(frame, (T, C, H, W, 3)).astype(np.uint8).copy()
+    )
+    imgs_b = jax.device_put(
+        np.roll(
+            np.broadcast_to(frame, (T, C, H, W, 3)).astype(np.uint8),
+            1, axis=2,
+        ).copy()
+    )
 
-    # compile + warmup
-    out = predictor(imgs)
-    jax.block_until_ready(out)
+    # compile + warmup; sync via a scalar D2H fetch (block_until_ready does
+    # not actually block on tunneled backends)
+    out = predictor(imgs_a)
+    _ = float(out[0][0, 0, 0])
 
-    iters = 10
+    iters = 20
     start = time.perf_counter()
-    for _ in range(iters):
-        out = predictor(imgs)
-    jax.block_until_ready(out)
+    for i in range(iters):
+        out = predictor(imgs_a if i % 2 == 0 else imgs_b)
+    _ = float(out[0][0, 0, 0])
     elapsed = time.perf_counter() - start
 
     poses_per_sec = iters * T / elapsed

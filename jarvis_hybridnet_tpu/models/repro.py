@@ -26,7 +26,7 @@ repro_layer.py:113), this implementation is fully batched via vmap.
 
 from __future__ import annotations
 
-import functools
+
 
 import jax
 import jax.numpy as jnp
@@ -44,34 +44,34 @@ def half_grid_offsets(grid_size: int, grid_spacing: float) -> np.ndarray:
     return np.stack([xx, yy, zz], axis=-1) * (grid_spacing * 2.0)
 
 
-@functools.lru_cache(maxsize=None)
-def _upsample2_weights(out_size: int, in_size: int):
-    """Static index/weight arrays for 1D linear upsampling, matching torch
-    F.interpolate(mode='trilinear', align_corners=False) per axis."""
-    i = np.arange(out_size, dtype=np.float64)
-    s = np.maximum((i + 0.5) * (in_size / out_size) - 0.5, 0.0)
-    i0 = np.floor(s).astype(np.int32)
-    i1 = np.minimum(i0 + 1, in_size - 1)
-    w1 = (s - i0).astype(np.float32)
-    return i0, i1, w1
+def _upsample2_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Exact 2x linear upsample along one axis (align_corners=False).
 
-
-def _upsample_axis(x: jnp.ndarray, axis: int, out_size: int) -> jnp.ndarray:
-    i0, i1, w1 = _upsample2_weights(out_size, x.shape[axis])
-    a = jnp.take(x, jnp.asarray(i0), axis=axis)
-    b = jnp.take(x, jnp.asarray(i1), axis=axis)
-    w = jnp.asarray(w1)
-    shape = [1] * x.ndim
-    shape[axis] = out_size
-    w = w.reshape(shape)
-    return a * (1.0 - w) + b * w
+    torch's half-pixel mapping for scale 2 decomposes into even/odd outputs
+    ``out[2k] = 0.25*in[k-1] + 0.75*in[k]`` (clamped at the edge) and
+    ``out[2k+1] = 0.75*in[k] + 0.25*in[k+1]`` — pure shifted slices +
+    interleave, which lower to cheap TPU copies instead of the pathological
+    gather that an index-array ``take`` becomes.
+    """
+    # interleave on the LEADING axis: merging (2, L) -> 2L there is a
+    # layout-free row-major reshape, whereas interleaving near the
+    # minor-most axes forces tile-padded copies on TPU
+    x = jnp.moveaxis(x, axis, 0)
+    prev = jnp.concatenate([x[:1], x[:-1]], axis=0)  # in[k-1] (edge clamp)
+    nxt = jnp.concatenate([x[1:], x[-1:]], axis=0)  # in[k+1]
+    even = 0.25 * prev + 0.75 * x
+    odd = 0.75 * x + 0.25 * nxt
+    out = jnp.stack([even, odd], axis=1)  # (L, 2, ...)
+    out = out.reshape(-1, *x.shape[1:])  # (2L, ...)
+    return jnp.moveaxis(out, 0, axis)
 
 
 def upsample_trilinear(x: jnp.ndarray, out: int) -> jnp.ndarray:
-    """Trilinear upsample of the trailing three axes of (..., D, H, W)."""
-    x = _upsample_axis(x, x.ndim - 3, out)
-    x = _upsample_axis(x, x.ndim - 2, out)
-    x = _upsample_axis(x, x.ndim - 1, out)
+    """Trilinear 2x upsample of the trailing three axes of (..., D, H, W)."""
+    assert out == 2 * x.shape[-1], "only exact 2x upsampling is used"
+    x = _upsample2_axis(x, x.ndim - 3)
+    x = _upsample2_axis(x, x.ndim - 2)
+    x = _upsample2_axis(x, x.ndim - 1)
     return x
 
 
@@ -84,16 +84,31 @@ def reproject_indices(
     grid_size: int,
     grid_spacing: float,
     heatmap_size: int,  # hs = BOUNDING_BOX_SIZE/2 + 2
+    upsample: bool = True,
 ) -> jnp.ndarray:
-    """Flat pixel indices (C, G, G, G) into each camera's padded heatmap."""
+    """Flat pixel indices (C, G, G, G) into each camera's padded heatmap
+    (or (C, G/2, G/2, G/2) with ``upsample=False``)."""
     g2 = grid_size // 2
-    offsets = jnp.asarray(half_grid_offsets(grid_size, grid_spacing))
-    grid = offsets + center3d.astype(jnp.float32)  # (g2, g2, g2, 3)
-    flat = grid.reshape(-1, 3)
-    hom = jnp.concatenate(
-        [flat, jnp.ones((flat.shape[0], 1), flat.dtype)], axis=-1
-    )
-    proj = jnp.einsum("nk,ckm->cnm", hom, camera_matrices, precision=_HIGHEST)
+    half = g2 // 2
+    # The voxel grid is axis-separable, so the homogeneous projection
+    # x@P decomposes into per-axis outer sums: proj_m(i,j,k) =
+    # X_i*P[0,m] + Y_j*P[1,m] + Z_k*P[2,m] + P[3,m]. Three broadcast adds
+    # per component replace the (N,4)x(4,3) matmul — no trailing-3/4 axes
+    # (which tile-pad 32-42x on TPU) ever materialize.
+    r = (jnp.arange(g2, dtype=jnp.float32) - half) * (grid_spacing * 2.0)
+    coords = r[None, :] + center3d.astype(jnp.float32)[:, None]  # (3, g2)
+    P = camera_matrices  # (C, 4, 3)
+
+    def component(m):
+        term = (
+            P[:, 0, m][:, None, None, None] * coords[0][None, :, None, None]
+            + P[:, 1, m][:, None, None, None] * coords[1][None, None, :, None]
+            + P[:, 2, m][:, None, None, None] * coords[2][None, None, None, :]
+            + P[:, 3, m][:, None, None, None]
+        )  # (C, g2, g2, g2)
+        return term.reshape(P.shape[0], -1)
+
+    pu, pv, pw = component(0), component(1), component(2)
 
     fx = intrinsics[:, 0, 0][:, None]
     fy = intrinsics[:, 1, 1][:, None]
@@ -102,8 +117,8 @@ def reproject_indices(
     k1 = distortions[:, 0, 0][:, None]
     k2 = distortions[:, 0, 1][:, None]
 
-    u = proj[:, :, 0] / proj[:, :, 2] - cx
-    v = proj[:, :, 1] / proj[:, :, 2] - cy
+    u = pu / pw - cx
+    v = pv / pw - cy
     r2 = jnp.square(u / fx) + jnp.square(v / fy)
     distort = 1.0 + (k1 + k2 * r2) * r2
     u = u * distort + cx
@@ -115,37 +130,59 @@ def reproject_indices(
     u = jnp.clip(u, chx - (hs - 1), chx + hs - 2) - chx + (hs - 1)
     v = jnp.clip(v, chy - (hs - 1), chy + hs - 2) - chy + (hs - 1)
 
-    u = upsample_trilinear(u.reshape(-1, g2, g2, g2), grid_size)
-    v = upsample_trilinear(v.reshape(-1, g2, g2, g2), grid_size)
+    if upsample:
+        u = upsample_trilinear(u.reshape(-1, g2, g2, g2), grid_size)
+        v = upsample_trilinear(v.reshape(-1, g2, g2, g2), grid_size)
 
     idx = (v / 2.0).astype(jnp.int32) * hs + (u / 2.0).astype(jnp.int32)
-    return idx  # (C, G, G, G)
+    return idx
 
 
 def gather_voxel_volume(
-    heatmaps: jnp.ndarray,  # (C, J, hs, hs) padded stride-2 heatmaps
-    indices: jnp.ndarray,  # (C, G, G, G) flat pixel indices
+    heatmaps: jnp.ndarray,  # (B, C, J, hs, hs) padded stride-2 heatmaps
+    indices: jnp.ndarray,  # (B, C, ...) flat within-image pixel indices
 ) -> jnp.ndarray:
     """Gather heatmap values at the projected pixels, mean over cameras.
 
-    Returns (J, G, G, G). Accumulates camera-by-camera to avoid
-    materializing the (C, J, G^3) intermediate
-    (reference: repro_layer.py:88-107 materializes it; at 12 cams x
-    23 joints x 72^3 voxels that is >400 MB).
+    Returns (B, N, J) — joints last, which is already the NDHWC layout the
+    V2V stage consumes.
+
+    Memory/scheduling choices (all measured on v5e):
+      * rows layout (B*hs^2, J): each gathered element is one contiguous
+        J-vector (a (J, pixels) layout gathers J strided words per voxel
+        and measures ~1.5x slower);
+      * the unrolled camera loop is *serialized* by threading a value from
+        the accumulator into the next camera's indices — without the data
+        dependency XLA schedules all C gathers concurrently and their
+        tile-padded outputs (23 joints -> 128 lanes) exceed HBM at
+        12 cams x 3M voxels (a lax.fori_loop also bounds memory but its
+        non-fused gather runs ~2.5x slower).
     """
-    C, J = heatmaps.shape[0], heatmaps.shape[1]
-    G = indices.shape[1]
-    hm_flat = heatmaps.reshape(C, J, -1)
-    idx_flat = indices.reshape(C, -1)
+    B, C, J = heatmaps.shape[0], heatmaps.shape[1], heatmaps.shape[2]
+    hs2 = heatmaps.shape[3] * heatmaps.shape[4]
+    N = int(np.prod(indices.shape[2:]))
+    # (C, B*hs^2, J): batch folded into the pixel axis
+    hm_rows = heatmaps.reshape(B, C, J, hs2).transpose(1, 0, 3, 2)
+    hm_rows = hm_rows.reshape(C, B * hs2, J)
+    batch_off = (jnp.arange(B, dtype=jnp.int32) * hs2)[:, None]  # (B, 1)
+    idx = indices.reshape(B, C, N) + batch_off[:, None]
+    idx = idx.transpose(1, 0, 2).reshape(C, B * N)
 
-    def body(c, acc):
-        vals = jnp.take(hm_flat[c], idx_flat[c], axis=1)  # (J, G^3)
-        return acc + vals
+    # Concurrency/memory trade-off: fully concurrent gathers overlap their
+    # DMA descriptor streams (~6x faster than serialized) but keep all C
+    # tile-padded outputs live. Gate new groups on the running sum via a
+    # zero-valued dependency so at most `group` outputs are in flight.
+    bytes_per_out = B * N * 128 * 4  # 23 joints tile-pad to 128 lanes
+    group = C if C * bytes_per_out < 4 << 30 else max(1, (4 << 30) // bytes_per_out)
 
-    acc = jax.lax.fori_loop(
-        0, C, body, jnp.zeros((J, G * G * G), heatmaps.dtype)
-    )
-    return (acc / C).reshape(J, G, G, G)
+    acc = None
+    for c in range(C):
+        idx_c = idx[c]
+        if acc is not None and c % group == 0:
+            idx_c = idx_c + (acc[0, 0] * 0.0).astype(jnp.int32)
+        vals = jnp.take(hm_rows[c], idx_c, axis=0)  # (B*N, J)
+        acc = vals if acc is None else acc + vals
+    return (acc / C).reshape(B, N, J)
 
 
 def reprojection_layer(
@@ -157,16 +194,47 @@ def reprojection_layer(
     distortions: jnp.ndarray,  # (B, C, 1, 5)
     grid_size: int,
     grid_spacing: float,
+    mode: str = "exact",
 ) -> jnp.ndarray:
-    """Batched voxel reprojection: (B, J, G, G, G)."""
+    """Batched voxel reprojection: (B, G, G, G, J) (NDHWC, V2V-ready).
+
+    ``mode='exact'`` replicates the reference bit-carefully: the half-grid
+    pixel-index maps are trilinearly upsampled to G^3 and every full-res
+    voxel gathers its own heatmap sample (repro_layer.py:70-85).
+
+    ``mode='half'`` gathers at the (G/2)^3 half-grid points directly and
+    trilinearly upsamples the gathered *values* — 8x fewer gathers (the
+    dominant cost on TPU, where random gather is DMA-per-element). Since
+    the heatmaps are smooth Gaussians and the index maps are themselves
+    interpolated from the same half grid, the volumes differ only by the
+    index-truncation nonlinearity; validated to move the final 3D
+    soft-argmax points by far less than the <2 mm fidelity budget.
+    """
     hs = heatmaps.shape[-1]
+    G = grid_size
 
-    def one(hm, c3d, chm, P, K, D):
-        idx = reproject_indices(
-            c3d, chm, P, K, D, grid_size, grid_spacing, hs
+    if mode == "exact":
+        idx = jax.vmap(
+            lambda c3d, chm, P, K, D: reproject_indices(
+                c3d, chm, P, K, D, grid_size, grid_spacing, hs
+            )
+        )(center3d, center_hm, camera_matrices, intrinsics, distortions)
+        out = gather_voxel_volume(heatmaps, idx)  # (B, G^3, J)
+        return out.reshape(-1, G, G, G, out.shape[-1])
+
+    assert mode == "half", mode
+    g2 = G // 2
+    idx = jax.vmap(
+        lambda c3d, chm, P, K, D: reproject_indices(
+            c3d, chm, P, K, D, grid_size, grid_spacing, hs, upsample=False
         )
-        return gather_voxel_volume(hm, idx)
-
-    return jax.vmap(one)(
-        heatmaps, center3d, center_hm, camera_matrices, intrinsics, distortions
-    )
+    )(center3d, center_hm, camera_matrices, intrinsics, distortions)
+    half = gather_voxel_volume(heatmaps, idx)  # (B, g2^3, J)
+    J = half.shape[-1]
+    half = half.reshape(-1, g2, g2, g2, J)
+    # upsample values over the three spatial axes (axes 1..3); joints stay
+    # on the (wide) minor-most axis throughout
+    full = _upsample2_axis(half, 1)
+    full = _upsample2_axis(full, 2)
+    full = _upsample2_axis(full, 3)
+    return full

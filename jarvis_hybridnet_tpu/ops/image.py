@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,12 +28,33 @@ def _linear_tables(out_size: int, in_size: int):
     return i0, i1, w1
 
 
+def _strided(x: jnp.ndarray, axis: int, start: int, step: int,
+             count: int) -> jnp.ndarray:
+    return jax.lax.slice_in_dim(
+        x, start, start + (count - 1) * step + 1, stride=step, axis=axis
+    )
+
+
 def _resize_axis(x: jnp.ndarray, axis: int, out_size: int) -> jnp.ndarray:
-    if x.shape[axis] == out_size:
+    in_size = x.shape[axis]
+    if in_size == out_size and jnp.issubdtype(x.dtype, jnp.floating):
         return x
-    i0, i1, w1 = _linear_tables(out_size, x.shape[axis])
-    a = jnp.take(x, jnp.asarray(i0), axis=axis)
-    b = jnp.take(x, jnp.asarray(i1), axis=axis)
+    # Fast path: integer downscale ratios lower to strided slices, which are
+    # plain TPU copies — an index-array take lowers to a pathological gather.
+    # Half-pixel mapping: src = r*i + (r-1)/2, so odd ratios sample exactly
+    # one element and even ratios blend two with weight 1/2.
+    if in_size % out_size == 0 and in_size != out_size:
+        r = in_size // out_size
+        if r % 2 == 1:
+            return _strided(x, axis, (r - 1) // 2, r, out_size).astype(
+                jnp.float32
+            )
+        a = _strided(x, axis, r // 2 - 1, r, out_size).astype(jnp.float32)
+        b = _strided(x, axis, r // 2, r, out_size).astype(jnp.float32)
+        return 0.5 * (a + b)
+    i0, i1, w1 = _linear_tables(out_size, in_size)
+    a = jnp.take(x, jnp.asarray(i0), axis=axis).astype(jnp.float32)
+    b = jnp.take(x, jnp.asarray(i1), axis=axis).astype(jnp.float32)
     shape = [1] * x.ndim
     shape[axis] = out_size
     w = jnp.asarray(w1).reshape(shape)
@@ -40,7 +62,11 @@ def _resize_axis(x: jnp.ndarray, axis: int, out_size: int) -> jnp.ndarray:
 
 
 def resize_bilinear(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
-    """Resize (..., H, W, C) to (..., height, width, C), no antialias."""
+    """Resize (..., H, W, C) to (..., height, width, C), no antialias.
+
+    uint8 inputs are gathered as uint8 and blended in float32; the output
+    is float32 in the input's value range.
+    """
     x = _resize_axis(x, x.ndim - 3, height)
     x = _resize_axis(x, x.ndim - 2, width)
     return x

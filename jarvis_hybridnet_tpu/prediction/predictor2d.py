@@ -57,15 +57,15 @@ def build_predict2d(
 
     @jax.jit
     def predict(imgs: jnp.ndarray):
-        if imgs.dtype == jnp.uint8:
-            # frames ship to the device as uint8 (4x less PCIe/H2D traffic);
-            # the [0,1] scaling fuses into the normalize below
-            imgs = imgs.astype(jnp.float32) / 255.0
+        # uint8 frames ship as uint8 (4x less H2D) and stay uint8 through
+        # the resize gathers / crop slices
+        is_uint8 = imgs.dtype == jnp.uint8
+        value_scale = 255.0 if is_uint8 else 1.0
         T, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
         scale_x = W / float(center_size)
         scale_y = H / float(center_size)
 
-        resized = resize_bilinear(imgs, center_size, center_size)
+        resized = resize_bilinear(imgs, center_size, center_size) / value_scale
         inp = normalize_imagenet(resized, mean, std).astype(dtype)
         _, hm = center_model.apply({"params": center_params}, inp)
         hm = hm.astype(jnp.float32)
@@ -85,6 +85,7 @@ def build_predict2d(
             )
 
         crops = jax.vmap(crop)(imgs, cx, cy)
+        crops = crops.astype(jnp.float32) / value_scale
         crops = normalize_imagenet(crops, mean, std).astype(dtype)
         _, khm = keypoint_model.apply({"params": keypoint_params}, crops)
         khm = khm.astype(jnp.float32)

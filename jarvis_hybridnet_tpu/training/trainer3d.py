@@ -48,6 +48,7 @@ class HybridNetTrainer:
             model_size=cfg.KEYPOINTDETECT.MODEL_SIZE,
             roi_cube_size=int(cfg.HYBRIDNET.ROI_CUBE_SIZE),
             grid_spacing=int(cfg.HYBRIDNET.GRID_SPACING),
+            repro_mode=str(cfg.get("TPU", {}).get("REPRO_MODE", "exact")),
         )
         if run_name is None:
             run_name = "Run_" + time.strftime("%Y%m%d-%H%M%S")

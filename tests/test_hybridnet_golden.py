@@ -103,7 +103,7 @@ def test_repro_layer_matches_reference(cpu_torch, rig, reference_dir):
             G,
             2.0,
         )
-    )
+    ).transpose(0, 4, 1, 2, 3)  # NDHWC -> (B, J, G, G, G)
 
     assert t_out.shape == j_out.shape == (1, J, G, G, G)
     # Values are camera-means of gathered heatmap samples in [0, 255].

@@ -127,7 +127,7 @@ def test_voxel_volume_peaks_at_gt(cfg):
             G,
             float(cfg.HYBRIDNET.GRID_SPACING),
         )
-    )[0]  # (J, G, G, G)
+    )[0].transpose(3, 0, 1, 2)  # (J, G, G, G)
 
     kp = s["keypoints3D"]
     spacing = float(cfg.HYBRIDNET.GRID_SPACING)
@@ -145,3 +145,55 @@ def test_voxel_volume_peaks_at_gt(cfg):
     assert len(errs) >= 15
     # voxel quantization alone is ~2 mm at GRID_SPACING=2
     assert np.median(errs) < 6.0, (np.median(errs), errs)
+
+
+def test_half_repro_mode_accuracy(cfg):
+    """'half' repro mode (8x fewer gathers) must produce volumes whose
+    soft-argmax decode moves < 0.5 mm vs the exact reference numerics, on
+    real pretrained heatmaps."""
+    from jarvis_hybridnet_tpu.dataset.dataset3d import Dataset3D
+    from jarvis_hybridnet_tpu.models.efficienttrack import (
+        EfficientTrackBackbone,
+    )
+    from jarvis_hybridnet_tpu.models.repro import reprojection_layer
+    from jarvis_hybridnet_tpu.models.weights_io import (
+        efficienttrack_params_from_torch,
+        load_torch_state_dict,
+    )
+
+    ds = Dataset3D(cfg, set="val")
+    s = ds[0]
+    J = int(cfg.KEYPOINTDETECT.NUM_JOINTS)
+    G = int(cfg.HYBRIDNET.ROI_CUBE_SIZE / cfg.HYBRIDNET.GRID_SPACING)
+    spacing = float(cfg.HYBRIDNET.GRID_SPACING)
+
+    sd = load_torch_state_dict(
+        f"{PRETRAIN_DIR}/EfficientTrack_Keypoints-small.pth"
+    )
+    params = efficienttrack_params_from_torch(sd, "small")
+    model = EfficientTrackBackbone(model_size="small", output_channels=J)
+    _, hm = model.apply({"params": params}, s["imgs"])
+    hm = np.asarray(hm).transpose(0, 3, 1, 2)
+    hm = np.pad(hm, ((0, 0), (0, 0), (1, 1), (1, 1)))
+
+    args = (
+        hm[None], s["center3d"][None], s["center_hm"][None],
+        s["camera_matrices"][None], s["intrinsics"][None],
+        s["distortions"][None], G, spacing,
+    )
+    vol_exact = np.asarray(reprojection_layer(*args, mode="exact"))[0]
+    vol_half = np.asarray(reprojection_layer(*args, mode="half"))[0]
+    assert vol_exact.shape == vol_half.shape == (G, G, G, J)
+
+    def decode(vol):
+        # soft-argmax over positive part (volumes are heatmap means >= 0)
+        v = np.maximum(vol, 0) + 1e-6
+        coords = np.arange(G)
+        norm = v.sum(axis=(0, 1, 2))
+        x = np.einsum("xyzj,x->j", v, coords) / norm
+        y = np.einsum("xyzj,y->j", v, coords) / norm
+        z = np.einsum("xyzj,z->j", v, coords) / norm
+        return np.stack([x, y, z], -1) * spacing  # mm
+
+    shift = np.linalg.norm(decode(vol_exact) - decode(vol_half), axis=-1)
+    assert shift.max() < 0.5, shift
