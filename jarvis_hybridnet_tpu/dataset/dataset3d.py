@@ -119,8 +119,8 @@ class Dataset3D(BaseDataset):
             imgs = np.zeros((C, bbox_size, bbox_size, 3), np.float32)
         center_hm = np.full((C, 2), 128, int)
 
+        width, height = cfg.DATASET.IMAGE_SIZE
         for ci, img_id in enumerate(frame_ids):
-            img = self._load_image(img_id, is_id=True)
             bboxs, _ = self._load_annotations(img_id, is_id=True)
             cx = int((bboxs[0, 0] + int(bboxs[0, 2])) / 2)
             cy = int((bboxs[0, 1] + int(bboxs[0, 3])) / 2)
@@ -128,12 +128,25 @@ class Dataset3D(BaseDataset):
                 t = self.rng.uniform(-1.0, 1.0, 2)
                 cx += int(t[0] * bbox_hw * 0.3)
                 cy += int(t[1] * bbox_hw * 0.3)
-            cy = min(max(bbox_hw, cy), img.shape[0] - bbox_hw)
-            cx = min(max(bbox_hw, cx), img.shape[1] - bbox_hw)
+            cy = min(max(bbox_hw, cy), height - bbox_hw)
+            cx = min(max(bbox_hw, cx), width - bbox_hw)
             center_hm[ci] = (cx, cy)
-            if not self.analysisMode:
-                img = img[cy - bbox_hw: cy + bbox_hw,
-                          cx - bbox_hw: cx + bbox_hw]
+
+        crops = None
+        if not self.analysisMode:
+            # native path: one threaded C++ decode+crop call for the whole
+            # frameset (falls back to the cv2 loop below)
+            crops = self._native_crops(frame_ids, center_hm, bbox_size,
+                                       width, height)
+        for ci, img_id in enumerate(frame_ids):
+            if crops is not None:
+                img = crops[ci].astype(np.float32) / 255.0
+            else:
+                img = self._load_image(img_id, is_id=True)
+                if not self.analysisMode:
+                    cx, cy = center_hm[ci]
+                    img = img[cy - bbox_hw: cy + bbox_hw,
+                              cx - bbox_hw: cx + bbox_hw]
             if self.set_name == "train":
                 img, _ = self.augpipe(img)
             imgs[ci] = img
@@ -172,6 +185,24 @@ class Dataset3D(BaseDataset):
         if self.analysisMode:
             sample["file_name"] = self.imgs[fs["frames"][0]]["file_name"]
         return sample
+
+    def _native_crops(self, frame_ids, center_hm, bbox_size, width, height):
+        """Threaded C++ decode+crop of a whole frameset; None on fallback."""
+        import os
+
+        from .. import native
+
+        if not native.available():
+            return None
+        paths = []
+        for img_id in frame_ids:
+            name = self.imgs[img_id]["file_name"]
+            if not name.lower().endswith((".jpg", ".jpeg")):
+                return None
+            paths.append(os.path.join(self.root_dir, self.set_name, name))
+        return native.decode_crop_batch(
+            paths, center_hm.astype(np.int32), bbox_size, width, height
+        )
 
     def get_dataset_config(self) -> dict:
         """Suggest cube size / grid spacing from p95 GT extents

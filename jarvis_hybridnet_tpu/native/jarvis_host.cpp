@@ -1,0 +1,247 @@
+// Native host-side data pipeline for jarvis_hybridnet_tpu.
+//
+// The reference's only native code is a pair of TensorRT converter plugins
+// (libs/conv_transpose{2,3}d_converter, SURVEY.md §2.10) that exist to keep
+// its GPU compute path fast. On TPU, XLA needs no converter plugins — the
+// part of the system that genuinely wants native code is the *host* side:
+// feeding the chip. This library implements a multi-threaded JPEG decode +
+// crop pipeline with a prefetching ring buffer, exposed through a plain C
+// ABI consumed via ctypes (no pybind11 required).
+//
+// Build: make -C jarvis_hybridnet_tpu/native   (g++ + libjpeg + pthreads)
+
+#include <cstdio>  // must precede jpeglib.h (it needs FILE declared)
+
+#include <jpeglib.h>
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <queue>
+#include <string>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Single JPEG decode: file -> RGB uint8 buffer.
+// Returns 0 on success; fills *width/*height. When out is null, only probes
+// the dimensions. The caller allocates out (width*height*3).
+// ---------------------------------------------------------------------------
+int jh_decode_jpeg_file(const char* path, uint8_t* out, int32_t* width,
+                        int32_t* height) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+
+  jpeg_decompress_struct cinfo;
+  jpeg_error_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr);
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return -2;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  *width = static_cast<int32_t>(cinfo.image_width);
+  *height = static_cast<int32_t>(cinfo.image_height);
+  if (out == nullptr) {  // probe only
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return 0;
+  }
+  jpeg_start_decompress(&cinfo);
+  const int stride = cinfo.output_width * cinfo.output_components;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out + static_cast<size_t>(cinfo.output_scanline) * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Threaded batch decode: n files -> (n, height, width, 3) uint8.
+// All images must share the given dimensions. Returns the number of files
+// decoded successfully.
+// ---------------------------------------------------------------------------
+int jh_decode_batch(const char** paths, int32_t n, uint8_t* out,
+                    int32_t width, int32_t height, int32_t num_threads) {
+  if (num_threads < 1) num_threads = 1;
+  std::atomic<int32_t> next(0), ok(0);
+  const size_t frame_bytes = static_cast<size_t>(width) * height * 3;
+
+  auto worker = [&]() {
+    int32_t w, h;
+    while (true) {
+      const int32_t i = next.fetch_add(1);
+      if (i >= n) return;
+      if (jh_decode_jpeg_file(paths[i], out + frame_bytes * i, &w, &h) == 0 &&
+          w == width && h == height) {
+        ok.fetch_add(1);
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return ok.load();
+}
+
+// ---------------------------------------------------------------------------
+// Threaded decode + center crop: n files -> (n, bbox, bbox, 3) uint8.
+// centers is (n, 2) int32 (x, y) crop centers, clamped so the crop stays
+// inside the frame (matching jarvis/dataset/dataset3D.py:202-207).
+// ---------------------------------------------------------------------------
+int jh_decode_crop_batch(const char** paths, int32_t n,
+                         const int32_t* centers, int32_t bbox, uint8_t* out,
+                         int32_t width, int32_t height, int32_t num_threads) {
+  if (num_threads < 1) num_threads = 1;
+  std::atomic<int32_t> next(0), ok(0);
+  const int32_t hw = bbox / 2;
+  const size_t crop_bytes = static_cast<size_t>(bbox) * bbox * 3;
+
+  auto worker = [&]() {
+    std::vector<uint8_t> frame(static_cast<size_t>(width) * height * 3);
+    int32_t w, h;
+    while (true) {
+      const int32_t i = next.fetch_add(1);
+      if (i >= n) return;
+      if (jh_decode_jpeg_file(paths[i], frame.data(), &w, &h) != 0 ||
+          w != width || h != height) {
+        continue;
+      }
+      int32_t cx = centers[2 * i], cy = centers[2 * i + 1];
+      if (cx < hw) cx = hw;
+      if (cx > width - hw) cx = width - hw;
+      if (cy < hw) cy = hw;
+      if (cy > height - hw) cy = height - hw;
+      uint8_t* dst = out + crop_bytes * i;
+      for (int32_t row = 0; row < bbox; ++row) {
+        const uint8_t* src =
+            frame.data() +
+            (static_cast<size_t>(cy - hw + row) * width + (cx - hw)) * 3;
+        std::memcpy(dst + static_cast<size_t>(row) * bbox * 3, src,
+                    static_cast<size_t>(bbox) * 3);
+      }
+      ok.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return ok.load();
+}
+
+// ---------------------------------------------------------------------------
+// Prefetching frameset pipeline: a background thread pool decodes batches
+// of framesets ahead of the consumer into a bounded ring of slots.
+// ---------------------------------------------------------------------------
+struct JhPipeline {
+  std::vector<std::string> paths;  // flattened framesets x cameras
+  int32_t cameras = 0;
+  int32_t bbox = 0;  // 0 -> full frames
+  std::vector<int32_t> centers;    // (num_items*cameras*2) when bbox > 0
+  int32_t width = 0, height = 0;
+  int32_t num_threads = 1;
+
+  std::queue<std::pair<int32_t, std::vector<uint8_t>>> ready;
+  std::mutex mu;
+  std::condition_variable cv_ready, cv_space;
+  size_t max_ready = 2;
+  int32_t next_item = 0;
+  int32_t items_done = 0;  // pushed to `ready` (guards completion)
+  int32_t total_items = 0;
+  std::thread producer;
+  std::atomic<bool> stop{false};
+};
+
+JhPipeline* jh_pipeline_create(const char** paths, int32_t num_items,
+                               int32_t cameras, const int32_t* centers,
+                               int32_t bbox, int32_t width, int32_t height,
+                               int32_t num_threads, int32_t prefetch) {
+  auto* p = new JhPipeline();
+  p->paths.reserve(static_cast<size_t>(num_items) * cameras);
+  for (int32_t i = 0; i < num_items * cameras; ++i) p->paths.push_back(paths[i]);
+  p->cameras = cameras;
+  p->bbox = bbox;
+  if (bbox > 0 && centers != nullptr) {
+    p->centers.assign(centers,
+                      centers + static_cast<size_t>(num_items) * cameras * 2);
+  }
+  p->width = width;
+  p->height = height;
+  p->num_threads = num_threads < 1 ? 1 : num_threads;
+  p->total_items = num_items;
+  p->max_ready = prefetch < 1 ? 1 : prefetch;
+
+  p->producer = std::thread([p]() {
+    const int32_t side_w = p->bbox > 0 ? p->bbox : p->width;
+    const int32_t side_h = p->bbox > 0 ? p->bbox : p->height;
+    const size_t item_bytes =
+        static_cast<size_t>(p->cameras) * side_h * side_w * 3;
+    while (!p->stop.load()) {
+      int32_t item;
+      {
+        std::unique_lock<std::mutex> lk(p->mu);
+        if (p->next_item >= p->total_items) return;
+        item = p->next_item++;
+      }
+      std::vector<uint8_t> buf(item_bytes);
+      std::vector<const char*> cpaths(p->cameras);
+      for (int32_t c = 0; c < p->cameras; ++c)
+        cpaths[c] = p->paths[static_cast<size_t>(item) * p->cameras + c].c_str();
+      if (p->bbox > 0) {
+        jh_decode_crop_batch(cpaths.data(), p->cameras,
+                             p->centers.data() +
+                                 static_cast<size_t>(item) * p->cameras * 2,
+                             p->bbox, buf.data(), p->width, p->height,
+                             p->num_threads);
+      } else {
+        jh_decode_batch(cpaths.data(), p->cameras, buf.data(), p->width,
+                        p->height, p->num_threads);
+      }
+      std::unique_lock<std::mutex> lk(p->mu);
+      p->cv_space.wait(lk, [p]() {
+        return p->ready.size() < p->max_ready || p->stop.load();
+      });
+      if (p->stop.load()) return;
+      p->ready.emplace(item, std::move(buf));
+      p->items_done++;
+      p->cv_ready.notify_one();
+    }
+  });
+  return p;
+}
+
+// Blocks until the next frameset is decoded; copies it into out.
+// Returns the item index, or -1 when the pipeline is exhausted.
+int32_t jh_pipeline_next(JhPipeline* p, uint8_t* out) {
+  std::unique_lock<std::mutex> lk(p->mu);
+  p->cv_ready.wait(lk, [p]() {
+    return !p->ready.empty() || p->items_done >= p->total_items;
+  });
+  if (p->ready.empty()) return -1;
+  auto item = std::move(p->ready.front());
+  p->ready.pop();
+  p->cv_space.notify_one();
+  lk.unlock();
+  std::memcpy(out, item.second.data(), item.second.size());
+  return item.first;
+}
+
+void jh_pipeline_destroy(JhPipeline* p) {
+  p->stop.store(true);
+  p->cv_space.notify_all();
+  p->cv_ready.notify_all();
+  if (p->producer.joinable()) p->producer.join();
+  delete p;
+}
+
+}  // extern "C"
