@@ -114,5 +114,8 @@ def get_default_cfg() -> CfgNode:
     # final 3D points); 'exact' replicates the reference repro numerics
     # bit-carefully for parity work
     c.TPU.REPRO_MODE = "half"
+    # when set, prediction drivers capture a jax.profiler trace here
+    # (new observability capability; the reference has none, SURVEY.md §5)
+    c.TPU.PROFILE_DIR = None
 
     return c

@@ -71,6 +71,12 @@ def predict3D(params: Predict3DParams) -> str | None:
         batch_size=batch,
     )
 
+    profile_dir = cfg.get("TPU", {}).get("PROFILE_DIR")
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
+
     num_joints = int(cfg.KEYPOINTDETECT.NUM_JOINTS)
     with open(os.path.join(params.output_dir, "data3D.csv"), "w",
               newline="") as csvfile:
@@ -95,4 +101,8 @@ def predict3D(params: Predict3DParams) -> str | None:
                 params.progress_bar.progress(done / reader.number_frames)
         bar.close()
     reader.release()
+    if profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
     return params.output_dir

@@ -41,6 +41,33 @@ def load_checkpoint(path: str, target: Any = None) -> Any:
     return serialization.msgpack_restore(data)
 
 
+def save_train_state(path: str, params: Any, opt_state: Any,
+                     epoch: int) -> None:
+    """Full training state (params + optimizer + epoch) for mid-run resume.
+
+    The reference only checkpoints model weights and cannot resume
+    optimizer/schedule state (efficienttrack.py:226 'TODO'); this is new
+    capability.
+    """
+    state = {
+        "params": params,
+        "opt_state": serialization.to_state_dict(opt_state),
+        "epoch": epoch,
+    }
+    save_checkpoint(state, path)
+
+
+def load_train_state(path: str, opt_state_target: Any = None):
+    """Returns (params, opt_state, epoch); opt_state is restored onto
+    ``opt_state_target`` when given (required to recover namedtuple
+    structure), else returned as a raw state dict."""
+    state = load_checkpoint(path)
+    opt_state = state["opt_state"]
+    if opt_state_target is not None:
+        opt_state = serialization.from_state_dict(opt_state_target, opt_state)
+    return state["params"], opt_state, int(state["epoch"])
+
+
 def save_torch_checkpoint(params: dict, path: str, model_size: str,
                           kind: str = "efficienttrack") -> None:
     """Export a flax param tree as a reference-loadable .pth state dict."""

@@ -110,7 +110,8 @@ class EfficientTrackTrainer:
 
     # -- main loop --------------------------------------------------------
     def train(self, training_set, validation_set, num_epochs,
-              start_epoch=0, streamlitWidgets=None) -> dict:
+              start_epoch=0, streamlitWidgets=None,
+              resume_from=None) -> dict:
         cfg = self.cfg
         train_loader = DataLoader(
             training_set, batch_size=int(cfg.BATCH_SIZE), shuffle=True,
@@ -134,6 +135,13 @@ class EfficientTrackTrainer:
             )
             plateau = optim.PlateauScheduler(float(cfg.MAX_LEARNING_RATE))
         opt_state = self.tx.init(self.params)
+        if resume_from is not None:
+            # full-state resume (params + optimizer + epoch) — new
+            # capability over the reference's weights-only checkpoints
+            self.params, opt_state, start_epoch = \
+                checkpoints.load_train_state(resume_from, opt_state)
+            clp.info(f"Resumed training state from {resume_from} "
+                     f"(epoch {start_epoch})")
 
         rng = jax.random.PRNGKey(1)
         lr_scale = 1.0
@@ -191,6 +199,9 @@ class EfficientTrackTrainer:
                     and epoch + 1 < num_epochs:
                 self.save_checkpoint(
                     f"EfficientTrack-{cfg.MODEL_SIZE}_Epoch_{epoch+1}")
+                checkpoints.save_train_state(
+                    os.path.join(self.model_savepath, "train_state.ckpt"),
+                    self.params, opt_state, epoch + 1)
             if epoch + 1 == num_epochs:
                 self.save_checkpoint(f"EfficientTrack-{cfg.MODEL_SIZE}_final")
 

@@ -106,7 +106,8 @@ class HybridNetTrainer:
         return hybridnet_mse_loss(hm_final, gt), points3d
 
     def train(self, training_set, validation_set, num_epochs,
-              start_epoch=0, streamlitWidgets=None) -> dict:
+              start_epoch=0, streamlitWidgets=None,
+              resume_from=None) -> dict:
         cfg = self.cfg.HYBRIDNET
         train_loader = DataLoader(
             training_set, batch_size=int(cfg.BATCH_SIZE), shuffle=True)
@@ -126,6 +127,11 @@ class HybridNetTrainer:
                 cfg.OPTIMIZER, float(cfg.MAX_LEARNING_RATE), labels)
             plateau = optim.PlateauScheduler(float(cfg.MAX_LEARNING_RATE))
         opt_state = self.tx.init(self.params)
+        if resume_from is not None:
+            self.params, opt_state, start_epoch = \
+                checkpoints.load_train_state(resume_from, opt_state)
+            clp.info(f"Resumed training state from {resume_from} "
+                     f"(epoch {start_epoch})")
 
         rng = jax.random.PRNGKey(2)
         lr_scale = 1.0
@@ -177,6 +183,9 @@ class HybridNetTrainer:
                 self.save_checkpoint(
                     f"HybridNet-{self.cfg.KEYPOINTDETECT.MODEL_SIZE}"
                     f"_Epoch_{epoch+1}")
+                checkpoints.save_train_state(
+                    os.path.join(self.model_savepath, "train_state.ckpt"),
+                    self.params, opt_state, epoch + 1)
             if epoch + 1 == num_epochs:
                 self.save_checkpoint(
                     f"HybridNet-{self.cfg.KEYPOINTDETECT.MODEL_SIZE}_final")

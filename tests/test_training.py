@@ -95,6 +95,39 @@ def test_trainer2d_smoke(project):
     tmodel.load_state_dict(sd, strict=True)
 
 
+def test_trainer2d_resume(project):
+    """Full-state resume: params + optimizer + epoch round-trip."""
+    import jax
+
+    from jarvis_hybridnet_tpu.dataset.dataset2d import Dataset2D
+    from jarvis_hybridnet_tpu.training import checkpoints
+    from jarvis_hybridnet_tpu.training.trainer2d import EfficientTrackTrainer
+
+    cfg = project.get_cfg()
+    cfg.CENTERDETECT.IMAGE_SIZE = 128
+    cfg.CENTERDETECT.BATCH_SIZE = 2
+    cfg.CENTERDETECT.CHECKPOINT_SAVE_INTERVAL = 1
+
+    ds = Dataset2D(cfg, set="val", mode="CenterDetect")
+    ds.image_ids = ds.image_ids[:2]
+
+    trainer = EfficientTrackTrainer("CenterDetect", cfg, weights=None,
+                                    run_name="ResumeRun")
+    trainer.train(ds, ds, num_epochs=2)
+    state_path = os.path.join(trainer.model_savepath, "train_state.ckpt")
+    assert os.path.isfile(state_path)
+
+    trainer2 = EfficientTrackTrainer("CenterDetect", cfg, weights=None,
+                                     run_name="ResumeRun2")
+    results = trainer2.train(ds, ds, num_epochs=2, resume_from=state_path)
+    assert np.isfinite(results["train_loss"])
+    # resumed params came from the saved state, not fresh init
+    saved, _, epoch = checkpoints.load_train_state(state_path)
+    assert epoch == 1
+    flat_saved = jax.tree.leaves(saved)
+    assert len(flat_saved) == len(jax.tree.leaves(trainer2.params))
+
+
 def test_trainer3d_freeze_modes(project):
     """'3D_only' must leave the 2D net untouched and update the V2V net."""
     from jarvis_hybridnet_tpu.dataset.dataset3d import Dataset3D
