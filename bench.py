@@ -21,6 +21,12 @@ import numpy as np
 def main():
     import jax
 
+    # persistent compilation cache: repeat bench runs skip the ~6 min
+    # compile (the trt_mode='previous' analog)
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     from jarvis_hybridnet_tpu.config import ProjectManager
     from jarvis_hybridnet_tpu.prediction.loaders import make_predictor3d
     from jarvis_hybridnet_tpu.utils.calibration import load_camera_rigs

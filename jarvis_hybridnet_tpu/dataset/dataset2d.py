@@ -128,6 +128,29 @@ class Dataset2D(BaseDataset):
         img = (img - self.mean) / self.std
         return img.astype(np.float32), targets, kps.reshape(1, -1)
 
+    def visualize_sample(self, idx):
+        """Heatmap-overlay viewer for one sample
+        (reference: jarvis/dataset/dataset2D.py:254-269). Returns the
+        rendered BGR image (shown interactively when a display exists)."""
+        img, heatmaps, _ = self[idx]
+        img = img * self.std + self.mean
+        img = cv2.cvtColor(img.astype(np.float32), cv2.COLOR_RGB2BGR)
+        hm = heatmaps[1]
+        img = cv2.resize(img * 255, (hm.shape[2], hm.shape[1])).astype(
+            np.uint8)
+        colored = cv2.applyColorMap(hm[0].astype(np.uint8), cv2.COLORMAP_JET)
+        for i in range(1, hm.shape[0]):
+            colored = colored + cv2.applyColorMap(
+                hm[i].astype(np.uint8), cv2.COLORMAP_JET)
+        img = cv2.addWeighted(img, 1.0, colored, 0.4, 0)
+        img = cv2.resize(img, (640, 512))
+        import os
+
+        if os.environ.get("DISPLAY"):  # interactive only; headless returns
+            cv2.imshow("frame", img)
+            cv2.waitKey(0)
+        return img
+
     def get_dataset_config(self) -> int:
         """Suggested BOUNDING_BOX_SIZE = ceil(1.2 * p98(bbox)/64)*64
         (dataset2D.py:226-251)."""

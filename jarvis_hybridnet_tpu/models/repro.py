@@ -172,6 +172,15 @@ def gather_voxel_volume(
     # DMA descriptor streams (~6x faster than serialized) but keep all C
     # tile-padded outputs live. Gate new groups on the running sum via a
     # zero-valued dependency so at most `group` outputs are in flight.
+    #
+    # Why not a Pallas kernel: TPU's vector ISA only gathers within a
+    # 128-lane vreg row (axis-1 take_along_axis) or an 8-sublane tile, so
+    # a VMEM-resident-table kernel must loop over the 133 possible
+    # 128-wide segments of the 17k-entry pixel table and repeat that per
+    # joint (~9 vector ops per gathered J-vector) — slower than XLA's
+    # DMA gather, which fetches each voxel's whole contiguous J-vector
+    # with one descriptor (~25M rows/s). The 'half' mode above attacks
+    # the real cost (descriptor count) instead.
     bytes_per_out = B * N * 128 * 4  # 23 joints tile-pad to 128 lanes
     group = C if C * bytes_per_out < 4 << 30 else max(1, (4 << 30) // bytes_per_out)
 

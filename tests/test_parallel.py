@@ -1,0 +1,132 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from jarvis_hybridnet_tpu.parallel.mesh import (
+    data_sharding,
+    frameset_sharding,
+    make_mesh,
+    replicated,
+)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8 and mesh.shape["cameras"] == 1
+    mesh2 = make_mesh(n_data=4, n_cameras=2)
+    assert mesh2.shape == {"data": 4, "cameras": 2}
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_sharded_train_step_matches_single_device():
+    """dp+camera-sharded training step must produce the same loss as the
+    unsharded computation."""
+    import optax
+
+    from jarvis_hybridnet_tpu.models.hybridnet import (
+        HybridNetBackbone,
+        hybridnet_mse_loss,
+    )
+    from jarvis_hybridnet_tpu.parallel.train_step import (
+        make_hybridnet_train_step,
+    )
+
+    B, C, J, S, cube, spacing = 4, 4, 2, 64, 16, 2
+    g2 = cube // spacing // 2
+    model = HybridNetBackbone(num_joints=J, model_size="small",
+                              roi_cube_size=cube, grid_spacing=spacing)
+    rng = np.random.default_rng(0)
+    imgs = rng.random((B, C, S, S, 3)).astype(np.float32)
+    center_hm = np.full((B, C, 2), 256, np.int32)
+    center3d = np.zeros((B, 3), np.int32)
+    P = np.zeros((B, C, 4, 3), np.float32)
+    P[:, :, 0, 0] = P[:, :, 1, 1] = 500.0
+    P[:, :, 2, 2] = 1.0
+    P[:, :, 3, 2] = 600.0
+    K = np.tile(np.eye(3, dtype=np.float32) * 500.0, (B, C, 1, 1))
+    K[:, :, 2, 2] = 1.0
+    K[:, :, 2, 0] = K[:, :, 2, 1] = 256.0
+    D = np.zeros((B, C, 1, 5), np.float32)
+    hm3d = (rng.random((B, J, g2, g2, g2)) * 255).astype(np.float32)
+    batch = {"imgs": imgs, "center_hm": center_hm, "center3d": center3d,
+             "heatmap3d": hm3d, "camera_matrices": P, "intrinsics": K,
+             "distortions": D}
+
+    params = model.init(jax.random.PRNGKey(0), imgs, center_hm, center3d,
+                        P, K, D)["params"]
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(params)
+
+    mesh = make_mesh(n_data=4, n_cameras=2)
+    step = make_hybridnet_train_step(model, tx, mesh, shard_cameras=True)
+    _, _, loss_sharded = step(params, opt_state, jax.random.PRNGKey(1), batch)
+
+    # single-device reference loss (deterministic forward: eval dropout off?
+    # train step uses dropout; compare against an identically-seeded run on
+    # a 1-device mesh instead)
+    mesh1 = make_mesh(n_data=1, n_cameras=1, devices=jax.devices()[:1])
+    step1 = make_hybridnet_train_step(model, tx, mesh1)
+    _, _, loss_single = step1(params, opt_state, jax.random.PRNGKey(1), batch)
+    assert np.isfinite(float(loss_sharded))
+    np.testing.assert_allclose(
+        float(loss_sharded), float(loss_single), rtol=2e-4)
+
+
+def test_sharded_predict3d(example_dataset):
+    """Data-parallel fused predict3D over 8 CPU devices runs and agrees
+    with the single-device predictor."""
+    from jarvis_hybridnet_tpu.config import ProjectManager
+    from jarvis_hybridnet_tpu.parallel.predict_step import (
+        build_sharded_predict3d,
+    )
+    from jarvis_hybridnet_tpu.prediction.loaders import (
+        init_efficienttrack_params,
+        init_hybridnet_params,
+    )
+    from jarvis_hybridnet_tpu.prediction.predictor3d import build_predict3d
+    from jarvis_hybridnet_tpu.utils.calibration import load_camera_rigs
+
+    pm = ProjectManager(parent_dir="/root/reference")
+    assert pm.load("Example_Project")
+    cfg = pm.get_cfg()
+    # tiny shapes for CPU: 4 cameras, small cube
+    cfg.HYBRIDNET.NUM_CAMERAS = 4
+    cfg.HYBRIDNET.ROI_CUBE_SIZE = 32
+    cfg.HYBRIDNET.GRID_SPACING = 2
+    cfg.KEYPOINTDETECT.BOUNDING_BOX_SIZE = 64
+    cfg.KEYPOINTDETECT.NUM_JOINTS = 5
+    cfg.CENTERDETECT.IMAGE_SIZE = 64
+
+    rig = load_camera_rigs(str(example_dataset))["12Cam_Ralph"]
+    Pm = rig.camera_matrices[:4]
+    Km = rig.intrinsics[:4]
+    Dm = rig.distortions[:4]
+
+    import jax.numpy as jnp
+
+    center = init_efficienttrack_params(cfg, "CenterDetect", seed=1)
+    hybrid = init_hybridnet_params(cfg, seed=2)
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (8, 4, 256, 320, 3), dtype=np.uint8)
+
+    single = build_predict3d(cfg, center, hybrid, Pm, Km, Dm,
+                             dtype=jnp.float32)
+    pts_s, conf_s, valid_s = single(imgs)
+
+    mesh = make_mesh(n_data=8, n_cameras=1)
+    sharded = build_sharded_predict3d(cfg, center, hybrid, Pm, Km, Dm,
+                                      mesh, dtype=jnp.float32)
+    pts_p, conf_p, valid_p = sharded(imgs)
+
+    assert np.array_equal(np.asarray(valid_s), np.asarray(valid_p))
+    np.testing.assert_allclose(np.asarray(pts_s), np.asarray(pts_p),
+                               rtol=1e-4, atol=1e-3)
