@@ -20,7 +20,6 @@ processes batch element 0 through its repro layer).
 
 from __future__ import annotations
 
-from typing import Any
 
 import jax
 import jax.numpy as jnp

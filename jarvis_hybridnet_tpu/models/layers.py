@@ -13,7 +13,6 @@ Numerics replicate the reference's torch layers exactly:
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.reprojection import _HIGHEST
+
 
 
 def half_grid_offsets(grid_size: int, grid_spacing: float) -> np.ndarray:

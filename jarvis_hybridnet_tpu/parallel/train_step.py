@@ -10,10 +10,8 @@ turns the reprojection layer's camera-mean into a cross-chip reduction.
 
 from __future__ import annotations
 
-from typing import Any
 
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

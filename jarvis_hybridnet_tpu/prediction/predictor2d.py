@@ -15,7 +15,6 @@ cache (see prediction.compile_cache).
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax
