@@ -50,7 +50,7 @@ class AugmentationPipeline:
             if rng.random() < pcm.PER_CHANNEL_PROBABILITY:
                 factors = rng.uniform(*pcm.SCALE, size=(1, 1, 3))
             else:
-                factors = rng.uniform(*pcm.SCALE)
+                factors = rng.uniform(*pcm.SCALE, size=(1,))
             img = img * factors.astype(np.float32)
         return np.clip(img, 0.0, 1.0).astype(np.float32)
 
