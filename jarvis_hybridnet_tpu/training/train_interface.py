@@ -28,6 +28,13 @@ def train_efficienttrack(mode, project_name, num_epochs, weights,
     if not project.load(project_name):
         return False
     cfg = project.get_cfg()
+    from ..config.checks import check_config
+
+    problems = check_config(cfg, mode)
+    if problems:
+        for p in problems:
+            clp.error(p)
+        return False
     if num_epochs is None:
         num_epochs = int(cfg[mode.upper()].NUM_EPOCHS)
     clp.info(f"Training {mode} on project {project_name} for "
@@ -65,6 +72,13 @@ def train_hybridnet(project_name, num_epochs, weights_keypoint_detect,
     if not project.load(project_name):
         return False
     cfg = project.get_cfg()
+    from ..config.checks import check_config
+
+    problems = check_config(cfg, "HybridNet")
+    if problems:
+        for p in problems:
+            clp.error(p)
+        return False
     if num_epochs is None:
         num_epochs = int(cfg.HYBRIDNET.NUM_EPOCHS)
     clp.info(f"Training HybridNet ({mode}) on project {project_name} for "

@@ -1,0 +1,31 @@
+"""Config sanity-check tests (reference: jarvis/ui/gui/train_gui.py:273-388)."""
+
+from jarvis_hybridnet_tpu.config import ProjectManager, get_default_cfg
+from jarvis_hybridnet_tpu.config.checks import check_config
+
+
+def test_valid_project_passes(reference_dir):
+    pm = ProjectManager(parent_dir=str(reference_dir))
+    pm.load("Example_Project")
+    assert check_config(pm.get_cfg(), "all") == []
+
+
+def test_invalid_values_flagged(reference_dir):
+    pm = ProjectManager(parent_dir=str(reference_dir))
+    pm.load("Example_Project")
+    cfg = pm.get_cfg()
+    cfg.CENTERDETECT.IMAGE_SIZE = 100  # not divisible by 64
+    cfg.KEYPOINTDETECT.BATCH_SIZE = 0
+    cfg.HYBRIDNET.ROI_CUBE_SIZE = 150  # not divisible by 4*spacing
+    problems = check_config(cfg, "all")
+    assert len(problems) == 3
+    assert any("divisible by 64" in p for p in problems)
+    assert any("batch size" in p for p in problems)
+    assert any("4 * GRID_SPACING" in p for p in problems)
+
+
+def test_missing_dataset_flagged():
+    cfg = get_default_cfg()
+    cfg.PARENT_DIR = "/nonexistent"
+    cfg.DATASET.DATASET_2D = "nope"
+    assert any("Dataset2D" in p for p in check_config(cfg, "CenterDetect"))
