@@ -1,0 +1,42 @@
+"""AOT-exported predictor artifacts — the TRT-engine-file analog.
+
+The reference saves TensorRT-compiled TorchScript engines per submodel to
+``projects/<p>/trt-models/`` and reloads them with trt_mode='previous'
+(jarvis/prediction/jarvis3D.py:50-125). Here the *whole fused cascade*
+(weights embedded as constants) is exported with ``jax.export`` to a single
+serialized artifact that reloads without retracing Python.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+
+def export_predictor(predict_fn, example_input, path: str) -> None:
+    """Serialize a jitted predictor (weights captured as constants)."""
+    spec = jax.ShapeDtypeStruct(example_input.shape,
+                                jnp.dtype(example_input.dtype))
+    exported = jax_export.export(predict_fn)(spec)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+
+
+def load_predictor(path: str):
+    """Load an exported predictor; returns a callable like the original."""
+    with open(path, "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    return jax.jit(exported.call)
+
+
+def artifact_path(cfg, kind: str, shape) -> str:
+    """Canonical artifact location: one file per (pipeline, input shape)."""
+    stem = f'{kind}_{"x".join(str(s) for s in shape)}.jaxexp'
+    return os.path.join(
+        cfg.PARENT_DIR, "projects", str(cfg.PROJECT_NAME),
+        "compiled-models", stem,
+    )

@@ -58,10 +58,6 @@ def predict3D(params: Predict3DParams) -> str | None:
     os.makedirs(params.output_dir, exist_ok=True)
     _write_info(params)
 
-    predictor = make_predictor3d(
-        cfg, rig, params.weights_center_detect, params.weights_hybridnet
-    )
-
     video_paths = get_video_paths(params.recording_path, rig.camera_names)
     batch = int(cfg.get("TPU", {}).get("FRAME_BATCH", 4))
     reader = MultiCameraReader(
@@ -70,6 +66,29 @@ def predict3D(params: Predict3DParams) -> str | None:
         number_frames=params.number_frames,
         batch_size=batch,
     )
+
+    # AOT-exported artifact (the TRT engine-file analog): 'previous' loads
+    # the serialized cascade (weights embedded), 'new' exports it
+    from . import export as aot
+
+    W, H = reader.img_size
+    shape = (batch, rig.num_cameras, H, W, 3)
+    artifact = aot.artifact_path(cfg, "predict3D", shape)
+    predictor = None
+    if params.trt_mode == "previous" and os.path.isfile(artifact):
+        clp.info(f"Loading exported predictor: {artifact}")
+        predictor = aot.load_predictor(artifact)
+    if predictor is None:
+        predictor = make_predictor3d(
+            cfg, rig, params.weights_center_detect, params.weights_hybridnet
+        )
+        if params.trt_mode == "new":
+            import numpy as _np
+
+            aot.export_predictor(
+                predictor, _np.zeros(shape, _np.uint8), artifact
+            )
+            clp.info(f"Exported compiled predictor: {artifact}")
 
     profile_dir = cfg.get("TPU", {}).get("PROFILE_DIR")
     if profile_dir:

@@ -99,12 +99,17 @@ def test_predict3d_driver(project_dir, recordings, monkeypatch):
     monkeypatch.setenv("JARVIS_PARENT_DIR", str(project_dir))
     rec_dir, _ = recordings
 
-    out = predict3D(Predict3DParams(
-        project_name="TestProj",
-        recording_path=str(rec_dir),
-        weights_center_detect=f"{PRETRAIN_DIR}/EfficientTrack_Center-small.pth",
-        weights_hybridnet=None,  # no pretrained 3D zoo entry exists
-    ))
+    def run(trt_mode):
+        return predict3D(Predict3DParams(
+            project_name="TestProj",
+            recording_path=str(rec_dir),
+            weights_center_detect=(
+                f"{PRETRAIN_DIR}/EfficientTrack_Center-small.pth"),
+            weights_hybridnet=None,  # no pretrained 3D zoo entry exists
+            trt_mode=trt_mode,
+        ))
+
+    out = run("new")  # also exports the AOT artifact
     assert out is not None
     with open(os.path.join(out, "data3D.csv")) as f:
         rows = list(csv.reader(f))
@@ -114,3 +119,13 @@ def test_predict3d_driver(project_dir, recordings, monkeypatch):
     vals = np.array(rows[2], dtype=np.float64)
     # center-detect gate passes on real frames -> non-NaN rows
     assert np.isfinite(vals).all()
+
+    # artifact written; 'previous' reloads it and reproduces the CSV
+    compiled = (project_dir / "projects" / "TestProj" / "compiled-models")
+    arts = list(compiled.glob("predict3D_*.jaxexp"))
+    assert len(arts) == 1 and arts[0].stat().st_size > 1000
+    out2 = run("previous")
+    with open(os.path.join(out2, "data3D.csv")) as f:
+        rows2 = list(csv.reader(f))
+    vals2 = np.array(rows2[2], dtype=np.float64)
+    np.testing.assert_allclose(vals2, vals, rtol=1e-4, atol=1e-3)
