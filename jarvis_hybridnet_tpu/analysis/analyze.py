@@ -61,10 +61,16 @@ def analyze_validation_data(
             predictors[name] = make_predictor3d(
                 cfg, dataset.rigs[name], weights_center, weights_hybridnet
             )
-        imgs = np.stack([b for b, m in zip(buf, metas) if m[1] == name])
+        n = len(buf)
+        imgs = np.stack(buf)
+        if n < frame_batch:
+            # zero-pad the tail batch: a smaller leading dim would retrace
+            # and recompile the whole fused cascade
+            pad = np.repeat(imgs[-1:], frame_batch - n, axis=0)
+            imgs = np.concatenate([imgs, pad], axis=0)
         pts, conf, valid = predictors[name](imgs)
-        pts, valid = np.asarray(pts), np.asarray(valid)
-        for i, (sample_meta, p, v) in enumerate(zip(metas, pts, valid)):
+        pts, valid = np.asarray(pts)[:n], np.asarray(valid)[:n]
+        for sample_meta, p, v in zip(metas, pts, valid):
             kp3d, _, fname = sample_meta[0], sample_meta[1], sample_meta[2]
             if v:
                 points_net.append(p)

@@ -119,8 +119,15 @@ class Dataset3D(BaseDataset):
             imgs = np.zeros((C, bbox_size, bbox_size, 3), np.float32)
         center_hm = np.full((C, 2), 128, int)
 
-        width, height = cfg.DATASET.IMAGE_SIZE
+        sizes = []
         for ci, img_id in enumerate(frame_ids):
+            # clamp against each camera's own frame size (mixed-resolution
+            # rigs; dataset JSON records width/height per image)
+            width = int(self.imgs[img_id].get(
+                "width", cfg.DATASET.IMAGE_SIZE[0]))
+            height = int(self.imgs[img_id].get(
+                "height", cfg.DATASET.IMAGE_SIZE[1]))
+            sizes.append((width, height))
             bboxs, _ = self._load_annotations(img_id, is_id=True)
             cx = int((bboxs[0, 0] + int(bboxs[0, 2])) / 2)
             cy = int((bboxs[0, 1] + int(bboxs[0, 3])) / 2)
@@ -133,11 +140,11 @@ class Dataset3D(BaseDataset):
             center_hm[ci] = (cx, cy)
 
         crops = None
-        if not self.analysisMode:
+        if not self.analysisMode and len(set(sizes)) == 1:
             # native path: one threaded C++ decode+crop call for the whole
             # frameset (falls back to the cv2 loop below)
             crops = self._native_crops(frame_ids, center_hm, bbox_size,
-                                       width, height)
+                                       sizes[0][0], sizes[0][1])
         for ci, img_id in enumerate(frame_ids):
             if crops is not None:
                 img = crops[ci].astype(np.float32) / 255.0

@@ -59,7 +59,7 @@ def predict3D(params: Predict3DParams) -> str | None:
     _write_info(params)
 
     video_paths = get_video_paths(params.recording_path, rig.camera_names)
-    batch = int(cfg.get("TPU", {}).get("FRAME_BATCH", 4))
+    batch = int(cfg.get("TPU", {}).get("FRAME_BATCH", 8))
     reader = MultiCameraReader(
         video_paths,
         frame_start=params.frame_start,

@@ -133,12 +133,16 @@ def load_efficienttrack_params(
     num_joints = int(sub_cfg.NUM_JOINTS)
 
     path = weights
+    is_ecoset = weights in ("ecoset", "EcoSet")
     if weights == "latest":
         path = get_latest_weights(cfg, module)
         if path is None:
-            clp.warning(f"No saved weights found for {module}.")
-            return None
-    elif weights == "ecoset":
+            # reference behavior: warn and proceed from random init
+            # (train_interface.py:92-97)
+            clp.warning("Could not find previously saved weights, "
+                        "using random initialization instead")
+            return init_params
+    elif is_ecoset:
         path = os.path.join(cfg.PARENT_DIR, "pretrained", "EcoSet",
                             f"EfficientTrack-{size}.pth")
     elif weights is not None and not os.path.isfile(weights):
@@ -161,6 +165,13 @@ def load_efficienttrack_params(
         loaded = weights_io.efficienttrack_params_from_torch(
             sd, size, num_joints=num_joints, drop_head=True
         )
+        if is_ecoset:
+            # the reference re-initializes final_conv1 and the merge head's
+            # pointwise conv when transferring from EcoSet
+            # (efficienttrack.py:125-129); the depthwise conv is kept
+            loaded.pop("final_conv1", None)
+            if "first_conv" in loaded:
+                loaded["first_conv"].pop("pointwise_conv", None)
     else:
         loaded = load_checkpoint(path)
     clp.info(f"Successfully loaded weights: {path}")
@@ -204,8 +215,10 @@ def load_hybridnet_params(
     if path is None:
         return params
     if not os.path.isfile(path):
+        # an explicitly requested checkpoint that does not exist is an
+        # error (reference aborts, train_interface.py:196-199)
         clp.warning(f"Could not load HybridNet weights: {path}")
-        return params
+        return None
 
     if path.endswith(".pth"):
         sd = weights_io.load_torch_state_dict(path)

@@ -13,7 +13,6 @@ The train step is a single jitted function: forward, dual-scale MSE
 
 from __future__ import annotations
 
-import functools
 import os
 import time
 
@@ -60,9 +59,11 @@ class EfficientTrackTrainer:
         self.mode = mode
         self.main_cfg = cfg
         self.cfg = cfg[mode.upper()]
+        train_dtype = str(cfg.get("TPU", {}).get("TRAIN_DTYPE", "float32"))
         self.model = EfficientTrackBackbone(
             model_size=self.cfg.MODEL_SIZE,
             output_channels=int(self.cfg.NUM_JOINTS),
+            dtype=jnp.bfloat16 if train_dtype == "bfloat16" else jnp.float32,
         )
         if run_name is None:
             run_name = "Run_" + time.strftime("%Y%m%d-%H%M%S")
@@ -87,25 +88,35 @@ class EfficientTrackTrainer:
             self.params = loaded
 
     # -- jitted steps -----------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=0)
-    def _train_step(self, params, opt_state, lr_scale, rng, imgs, t4, t2):
-        def loss_fn(p):
-            outputs = self.model.apply(
-                {"params": p}, imgs, deterministic=False,
-                rngs={"dropout": rng},
-            )
-            return heatmap_loss(outputs, (t4, t2)), outputs[1]
+    def _build_steps(self, tx):
+        """Fresh jitted step closures per train() call — jitting methods
+        with a static ``self`` would cache the first optimizer/trace across
+        reconfigured runs."""
+        model = self.model
 
-        (loss, hm2), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = self.tx.update(grads, opt_state, params)
-        updates = jax.tree.map(lambda u: u * lr_scale, updates)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, jnp.clip(hm2, 0, 255)
+        @jax.jit
+        def train_step(params, opt_state, lr_scale, rng, imgs, t4, t2):
+            def loss_fn(p):
+                outputs = model.apply(
+                    {"params": p}, imgs, deterministic=False,
+                    rngs={"dropout": rng},
+                )
+                return heatmap_loss(outputs, (t4, t2)), outputs[1]
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def _eval_step(self, params, imgs, t4, t2):
-        outputs = self.model.apply({"params": params}, imgs)
-        return heatmap_loss(outputs, (t4, t2)), jnp.clip(outputs[1], 0, 255)
+            (loss, hm2), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            updates = jax.tree.map(lambda u: u * lr_scale, updates)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, jnp.clip(hm2, 0, 255)
+
+        @jax.jit
+        def eval_step(params, imgs, t4, t2):
+            outputs = model.apply({"params": params}, imgs)
+            return heatmap_loss(outputs, (t4, t2)), \
+                jnp.clip(outputs[1], 0, 255)
+
+        return train_step, eval_step
 
     # -- main loop --------------------------------------------------------
     def train(self, training_set, validation_set, num_epochs,
@@ -133,6 +144,7 @@ class EfficientTrackTrainer:
                 cfg.OPTIMIZER, float(cfg.MAX_LEARNING_RATE)
             )
             plateau = optim.PlateauScheduler(float(cfg.MAX_LEARNING_RATE))
+        train_step, eval_step = self._build_steps(self.tx)
         opt_state = self.tx.init(self.params)
         if resume_from is not None:
             # full-state resume (params + optimizer + epoch) — new
@@ -154,7 +166,7 @@ class EfficientTrackTrainer:
             bar = tqdm(train_loader, total=steps_per_epoch)
             for imgs, targets, keypoints in bar:
                 rng, sub = jax.random.split(rng)
-                self.params, opt_state, loss, hm2 = self._train_step(
+                self.params, opt_state, loss, hm2 = train_step(
                     self.params, opt_state, lr_scale, sub,
                     imgs.astype(np.float32),
                     targets[0].transpose(0, 2, 3, 1),
@@ -206,7 +218,7 @@ class EfficientTrackTrainer:
 
             if (epoch + 1) % int(cfg.VAL_INTERVAL) == 0:
                 for imgs, targets, keypoints in val_loader:
-                    loss, hm2 = self._eval_step(
+                    loss, hm2 = eval_step(
                         self.params, imgs.astype(np.float32),
                         targets[0].transpose(0, 2, 3, 1),
                         targets[1].transpose(0, 2, 3, 1),

@@ -10,7 +10,6 @@ label trees, checkpoints in both native .ckpt and reference .pth formats.
 
 from __future__ import annotations
 
-import functools
 import os
 import time
 
@@ -42,12 +41,16 @@ class HybridNetTrainer:
                  training_mode: str = "all"):
         self.cfg = cfg
         self.training_mode = training_mode
+        import jax.numpy as jnp
+
+        train_dtype = str(cfg.get("TPU", {}).get("TRAIN_DTYPE", "float32"))
         self.model = HybridNetBackbone(
             num_joints=int(cfg.KEYPOINTDETECT.NUM_JOINTS),
             model_size=cfg.KEYPOINTDETECT.MODEL_SIZE,
             roi_cube_size=int(cfg.HYBRIDNET.ROI_CUBE_SIZE),
             grid_spacing=int(cfg.HYBRIDNET.GRID_SPACING),
             repro_mode=str(cfg.get("TPU", {}).get("REPRO_MODE", "exact")),
+            dtype=jnp.bfloat16 if train_dtype == "bfloat16" else jnp.float32,
         )
         if run_name is None:
             run_name = "Run_" + time.strftime("%Y%m%d-%H%M%S")
@@ -66,6 +69,8 @@ class HybridNetTrainer:
             cfg, weights, init_params=self.params,
             efficienttrack_weights=efficienttrack_weights,
         )
+        # None only when an explicitly requested checkpoint failed to load
+        self.found_weights = loaded is not None
         if loaded is not None:
             self.params = loaded
 
@@ -74,35 +79,44 @@ class HybridNetTrainer:
         (reference: hybridnet.py:367-388)."""
         self.training_mode = mode
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def _train_step(self, params, opt_state, lr_scale, rng, batch):
-        def loss_fn(p):
-            hm_final, _, points3d, _ = self.model.apply(
-                {"params": p},
+    def _build_steps(self, tx):
+        """Fresh jitted step closures per train() call (a static-self
+        method jit would cache the first optimizer/freeze-label trace
+        across set_training_mode + retrain)."""
+        model = self.model
+
+        @jax.jit
+        def train_step(params, opt_state, lr_scale, rng, batch):
+            def loss_fn(p):
+                hm_final, _, points3d, _ = model.apply(
+                    {"params": p},
+                    batch["imgs"], batch["center_hm"], batch["center3d"],
+                    batch["camera_matrices"], batch["intrinsics"],
+                    batch["distortions"],
+                    deterministic=False, rngs={"dropout": rng},
+                )
+                gt = batch["heatmap3d"].transpose(0, 2, 3, 4, 1)
+                return hybridnet_mse_loss(hm_final, gt), points3d
+
+            (loss, pts), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            updates = jax.tree.map(lambda u: u * lr_scale, updates)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, pts
+
+        @jax.jit
+        def eval_step(params, batch):
+            hm_final, _, points3d, _ = model.apply(
+                {"params": params},
                 batch["imgs"], batch["center_hm"], batch["center3d"],
                 batch["camera_matrices"], batch["intrinsics"],
                 batch["distortions"],
-                deterministic=False, rngs={"dropout": rng},
             )
             gt = batch["heatmap3d"].transpose(0, 2, 3, 4, 1)
             return hybridnet_mse_loss(hm_final, gt), points3d
 
-        (loss, pts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = self.tx.update(grads, opt_state, params)
-        updates = jax.tree.map(lambda u: u * lr_scale, updates)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, pts
-
-    @functools.partial(jax.jit, static_argnums=0)
-    def _eval_step(self, params, batch):
-        hm_final, _, points3d, _ = self.model.apply(
-            {"params": params},
-            batch["imgs"], batch["center_hm"], batch["center3d"],
-            batch["camera_matrices"], batch["intrinsics"],
-            batch["distortions"],
-        )
-        gt = batch["heatmap3d"].transpose(0, 2, 3, 4, 1)
-        return hybridnet_mse_loss(hm_final, gt), points3d
+        return train_step, eval_step
 
     def train(self, training_set, validation_set, num_epochs,
               start_epoch=0, streamlitWidgets=None,
@@ -125,6 +139,7 @@ class HybridNetTrainer:
             self.tx = optim.make_optimizer(
                 cfg.OPTIMIZER, float(cfg.MAX_LEARNING_RATE), labels)
             plateau = optim.PlateauScheduler(float(cfg.MAX_LEARNING_RATE))
+        train_step, eval_step = self._build_steps(self.tx)
         opt_state = self.tx.init(self.params)
         if resume_from is not None:
             self.params, opt_state, start_epoch = \
@@ -153,7 +168,7 @@ class HybridNetTrainer:
             bar = tqdm(train_loader, total=steps_per_epoch)
             for b in bar:
                 rng, sub = jax.random.split(rng)
-                self.params, opt_state, loss, pts = self._train_step(
+                self.params, opt_state, loss, pts = train_step(
                     self.params, opt_state, lr_scale, sub, to_batch(b))
                 step += 1
                 acc = calculate_accuracy_mm(
@@ -191,7 +206,7 @@ class HybridNetTrainer:
 
             if epoch % int(cfg.VAL_INTERVAL) == 0:
                 for b in val_loader:
-                    loss, pts = self._eval_step(self.params, to_batch(b))
+                    loss, pts = eval_step(self.params, to_batch(b))
                     acc = calculate_accuracy_mm(
                         np.asarray(pts), np.asarray(b["keypoints3D"]))
                     self.lossMeter.update(float(loss))

@@ -25,6 +25,19 @@ from ..utils.skeleton import get_skeleton
 from . import visualization_utils as utils
 
 
+def _has_text_header(csv_path: str) -> bool:
+    """True when the CSV starts with the two-row joint-name header. A NaN
+    check on the first value would misfire on an undetected (all-'NaN')
+    first frame row, which is numeric."""
+    with open(csv_path) as f:
+        first = f.readline().split(",")[0].strip()
+    try:
+        float(first)
+        return False
+    except ValueError:
+        return True
+
+
 def create_videos3D(params: CreateVideos3DParams) -> str | None:
     project = ProjectManager()
     if not project.load(params.project_name):
@@ -39,17 +52,13 @@ def create_videos3D(params: CreateVideos3DParams) -> str | None:
     )
     os.makedirs(params.output_dir, exist_ok=True)
 
-    videos = os.listdir(params.recording_path)
-    video_paths, make_video = [], []
-    for i, camera in enumerate(rig.camera_names):
-        for video in videos:
-            if camera == video.split(".")[0]:
-                video_paths.append(os.path.join(params.recording_path, video))
-                make_video.append(
-                    not params.video_cam_list
-                    or camera in params.video_cam_list
-                )
-        assert len(video_paths) == i + 1, f"Missing recording for {camera}"
+    from ..prediction.video_io import get_video_paths
+
+    video_paths = get_video_paths(params.recording_path, rig.camera_names)
+    make_video = [
+        not params.video_cam_list or camera in params.video_cam_list
+        for camera in rig.camera_names
+    ]
 
     caps, outs = [], []
     img_size = [0, 0]
@@ -74,8 +83,8 @@ def create_videos3D(params: CreateVideos3DParams) -> str | None:
 
     colors, line_idxs = get_skeleton(cfg)
     data = np.genfromtxt(params.data_csv, delimiter=",")
-    if np.isnan(data[0, 0]):
-        data = data[2:]  # skip text header rows
+    if _has_text_header(params.data_csv):
+        data = data[2:]
     points3D = np.delete(data, list(range(3, data.shape[1], 4)), axis=1)
 
     total = int(caps[0].get(cv2.CAP_PROP_FRAME_COUNT))

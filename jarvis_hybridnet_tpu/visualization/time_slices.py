@@ -20,7 +20,9 @@ def plot_slices(csv_file, filename, start_frame, num_frames, skip_number,
         print("3D Coordinate CSV file does not exist!")
         return None
     data = np.genfromtxt(csv_file, delimiter=",")
-    if np.isnan(data[0, 0]):
+    from .create_videos3d import _has_text_header
+
+    if _has_text_header(csv_file):
         data = data[2:]
     # drop confidence columns when present (x,y,z,confidence groups)
     if data.shape[1] % 4 == 0:
