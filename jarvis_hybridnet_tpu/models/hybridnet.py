@@ -82,9 +82,11 @@ class HybridNetBackbone(nn.Module):
         )  # (B, G, G, G, J) — already the V2V layout
 
         vol = (voxels / 255.0).astype(self.dtype)
-        out = V2VNet(self.num_joints, dtype=self.dtype, name="v2vNet")(
-            vol, deterministic=deterministic
-        )
+        out = V2VNet(
+            self.num_joints, dtype=self.dtype,
+            fused_upsample_front=(self.repro_mode == "half_fused"),
+            name="v2vNet",
+        )(vol, deterministic=deterministic)
         out = jax.nn.softplus(out.astype(jnp.float32))  # (B, g, g, g, J)
 
         # Soft-argmax (model.py:76-83); grid coords over the half-res output

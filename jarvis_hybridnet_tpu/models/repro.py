@@ -218,6 +218,11 @@ def reprojection_layer(
     interpolated from the same half grid, the volumes differ only by the
     index-truncation nonlinearity; validated to move the final 3D
     soft-argmax points by far less than the <2 mm fidelity budget.
+
+    ``mode='half_fused'`` is 'half' without materializing the G^3 volume:
+    the (G/2)^3 gathered volume is returned directly and V2VNet's front
+    layer applies the exact upsample+stride-2-conv composition
+    (ops/fused_upfront.py) — same numerics as 'half', no 72^3 buffers.
     """
     hs = heatmaps.shape[-1]
     G = grid_size
@@ -231,7 +236,7 @@ def reprojection_layer(
         out = gather_voxel_volume(heatmaps, idx)  # (B, G^3, J)
         return out.reshape(-1, G, G, G, out.shape[-1])
 
-    assert mode == "half", mode
+    assert mode in ("half", "half_fused"), mode
     g2 = G // 2
     idx = jax.vmap(
         lambda c3d, chm, P, K, D: reproject_indices(
@@ -241,6 +246,8 @@ def reprojection_layer(
     half = gather_voxel_volume(heatmaps, idx)  # (B, g2^3, J)
     J = half.shape[-1]
     half = half.reshape(-1, g2, g2, g2, J)
+    if mode == "half_fused":
+        return half  # V2V's fused front layer consumes the half grid
     # upsample values over the three spatial axes (axes 1..3); joints stay
     # on the (wide) minor-most axis throughout
     full = _upsample2_axis(half, 1)

@@ -45,25 +45,51 @@ class _ConvTranspose3dTorch(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class _FusedUpFrontConv(nn.Module):
+    """Stride-2 k3 conv applied to a virtually-2x-upsampled input — the
+    exact fused composition (ops/fused_upfront.py). Params are named and
+    shaped identically to the plain nn.Conv, so checkpoints interchange."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", _init,
+                            (3, 3, 3, in_ch, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        from ..ops.fused_upfront import fused_up_conv3d
+
+        return fused_up_conv3d(x, kernel, bias, dtype=self.dtype)
+
+
 class Basic3DBlock(nn.Module):
     features: int
     kernel_size: int
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
+    fused_up: bool = False  # input is half-res; fuse the 2x upsample
 
     @nn.compact
     def __call__(self, x, deterministic=True):
-        pad = (self.kernel_size - 1) // 2
-        x = nn.Conv(
-            self.features,
-            (self.kernel_size,) * 3,
-            strides=(self.stride,) * 3,
-            padding=((pad, pad),) * 3,
-            kernel_init=_init,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(x)
+        if self.fused_up:
+            assert self.kernel_size == 3 and self.stride == 2
+            x = _FusedUpFrontConv(self.features, dtype=self.dtype,
+                                  name="conv")(x)
+        else:
+            pad = (self.kernel_size - 1) // 2
+            x = nn.Conv(
+                self.features,
+                (self.kernel_size,) * 3,
+                strides=(self.stride,) * 3,
+                padding=((pad, pad),) * 3,
+                kernel_init=_init,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="conv",
+            )(x)
         x = jax.nn.relu(instance_norm(x))
         return nn.Dropout(0.2, deterministic=deterministic)(x)
 
@@ -101,15 +127,21 @@ class Upsample3DBlock(nn.Module):
 
 
 class V2VNet(nn.Module):
-    """Input (B, G, G, G, J) voxel volume -> (B, G/2, G/2, G/2, J)."""
+    """Input (B, G, G, G, J) voxel volume -> (B, G/2, G/2, G/2, J).
+
+    With ``fused_upsample_front`` the input is the *half-resolution*
+    (G/2)^3 volume and the front layer computes
+    conv_s2(upsample2(x)) in one fused op (same parameters)."""
 
     channels: int  # J
     dtype: jnp.dtype = jnp.float32
+    fused_upsample_front: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic=True):
         j = self.channels
         x = Basic3DBlock(2 * j, 3, stride=2, dtype=self.dtype,
+                         fused_up=self.fused_upsample_front,
                          name="front_basic")(x, deterministic)
         x = Res3DBlock(2 * j, dtype=self.dtype, name="front_res")(
             x, deterministic)
