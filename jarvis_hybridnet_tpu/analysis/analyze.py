@@ -29,7 +29,8 @@ def analyze_validation_data(
     weights_hybridnet="latest",
     cameras_to_use=None,
     progress_bar=None,
-    frame_batch=4,
+    frame_batch=8,
+    max_framesets=None,
 ):
     project = ProjectManager()
     if not project.load(project_name):
@@ -44,6 +45,9 @@ def analyze_validation_data(
 
     dataset = Dataset3D(cfg, set="val", analysisMode=True,
                         cameras_to_use=cameras_to_use)
+    if max_framesets is not None:
+        dataset.frameset_keys = dataset.frameset_keys[:max_framesets]
+        dataset.keypoints3D = dataset.keypoints3D[:max_framesets]
 
     points_net, points_gt, filenames = [], [], []
     # one predictor per calibration session (camera matrices are baked into

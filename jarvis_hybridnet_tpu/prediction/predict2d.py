@@ -81,20 +81,36 @@ def predict2D(params: Predict2DParams) -> str | None:
 
             done = 0
             bar = tqdm(total=reader.number_frames)
+            # one-deep device pipeline: dispatch batch k+1 before fetching
+            # batch k's results so H2D transfer overlaps TPU compute
+            import jax
+
+            pending = None
             for frames, n in reader:
-                points, conf, valid = predictor(frames)
-                points = np.asarray(points)
-                conf = np.asarray(conf)
-                valid = np.asarray(valid)
-                for t in range(n):
-                    _write_row(writer, points[t], conf[t], valid[t], num_joints)
-                done += n
-                bar.update(n)
-                if params.progress_bar is not None:
-                    params.progress_bar.progress(done / reader.number_frames)
+                outputs = predictor(jax.device_put(frames))
+                if pending is not None:
+                    done += _drain2d(writer, pending, num_joints, bar,
+                                     params, done, reader.number_frames)
+                pending = (outputs, n)
+            if pending is not None:
+                done += _drain2d(writer, pending, num_joints, bar, params,
+                                 done, reader.number_frames)
             bar.close()
         reader.release()
     return params.output_dir
+
+
+def _drain2d(writer, pending, num_joints, bar, params, done, total):
+    (points, conf, valid), n = pending
+    points = np.asarray(points)
+    conf = np.asarray(conf)
+    valid = np.asarray(valid)
+    for t in range(n):
+        _write_row(writer, points[t], conf[t], valid[t], num_joints)
+    bar.update(n)
+    if params.progress_bar is not None:
+        params.progress_bar.progress(min(1.0, (done + n) / total))
+    return n
 
 
 def _write_row(writer, points, conf, valid, num_joints, with_z=False):

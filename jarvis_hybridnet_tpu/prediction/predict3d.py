@@ -40,6 +40,19 @@ def get_camera_rig(cfg, dataset_name=None) -> CameraRig:
     return rigs[next(iter(rigs))]
 
 
+def _drain(writer, pending, num_joints, bar, params, done, total):
+    (points, conf, valid), n = pending
+    points = np.asarray(points)
+    conf = np.asarray(conf)
+    valid = np.asarray(valid)
+    for t in range(n):
+        _write_row(writer, points[t], conf[t], valid[t], num_joints,
+                   with_z=True)
+    bar.update(n)
+    if params.progress_bar is not None:
+        params.progress_bar.progress(min(1.0, (done + n) / total))
+
+
 def predict3D(params: Predict3DParams) -> str | None:
     project = ProjectManager()
     if not project.load(params.project_name):
@@ -106,18 +119,23 @@ def predict3D(params: Predict3DParams) -> str | None:
 
         done = 0
         bar = tqdm(total=reader.number_frames)
+        # one-deep device pipeline: upload batch k+1 and dispatch its
+        # predictor call (async) before fetching batch k's results, so
+        # host->device transfer and TPU compute overlap
+        import jax
+
+        pending = None  # (outputs, n)
         for frames, n in reader:
-            points, conf, valid = predictor(frames)
-            points = np.asarray(points)
-            conf = np.asarray(conf)
-            valid = np.asarray(valid)
-            for t in range(n):
-                _write_row(writer, points[t], conf[t], valid[t], num_joints,
-                           with_z=True)
-            done += n
-            bar.update(n)
-            if params.progress_bar is not None:
-                params.progress_bar.progress(done / reader.number_frames)
+            outputs = predictor(jax.device_put(frames))
+            if pending is not None:
+                _drain(writer, pending, num_joints, bar, params,
+                       done, reader.number_frames)
+                done += pending[1]
+            pending = (outputs, n)
+        if pending is not None:
+            _drain(writer, pending, num_joints, bar, params,
+                   done, reader.number_frames)
+            done += pending[1]
         bar.close()
     reader.release()
     if profile_dir:
