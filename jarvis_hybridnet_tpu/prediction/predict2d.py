@@ -43,9 +43,7 @@ def predict2D(params: Predict2DParams) -> str | None:
     os.makedirs(params.output_dir, exist_ok=True)
     _write_info(params)
 
-    predictor = make_predictor2d(
-        cfg, params.weights_center_detect, params.weights_keypoint_detect
-    )
+    predictor = None  # built lazily once the frame size is known
 
     recording_paths = []
     multiple_videos = False
@@ -72,6 +70,26 @@ def predict2D(params: Predict2DParams) -> str | None:
             number_frames=params.number_frames,
             batch_size=batch,
         )
+        if predictor is None:
+            # AOT artifact (TRT engine-file analog), keyed by input shape
+            from . import export as aot
+
+            W, H = reader.img_size
+            shape = (batch, H, W, 3)
+            artifact = aot.artifact_path(cfg, "predict2D", shape)
+            if params.trt_mode == "previous" and os.path.isfile(artifact):
+                clp.info(f"Loading exported predictor: {artifact}")
+                predictor = aot.load_predictor(artifact)
+            else:
+                predictor = make_predictor2d(
+                    cfg, params.weights_center_detect,
+                    params.weights_keypoint_detect,
+                )
+                if params.trt_mode == "new":
+                    aot.export_predictor(
+                        predictor, np.zeros(shape, np.uint8), artifact
+                    )
+                    clp.info(f"Exported compiled predictor: {artifact}")
         with open(os.path.join(params.output_dir, csv_name), "w",
                   newline="") as csvfile:
             writer = csv.writer(csvfile, delimiter=",", quotechar='"',

@@ -73,8 +73,11 @@ def test_predict2d_driver(project_dir, recordings, monkeypatch):
         weights_center_detect=f"{PRETRAIN_DIR}/EfficientTrack_Center-small.pth",
         weights_keypoint_detect=(
             f"{PRETRAIN_DIR}/EfficientTrack_Keypoints-small.pth"),
+        trt_mode="new",
     ))
     assert out is not None
+    assert list((project_dir / "projects" / "TestProj" /
+                 "compiled-models").glob("predict2D_*.jaxexp"))
     assert os.path.isfile(os.path.join(out, "info.yaml"))
     with open(os.path.join(out, "data2D.csv")) as f:
         rows = list(csv.reader(f))
