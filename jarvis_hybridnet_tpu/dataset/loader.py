@@ -1,16 +1,20 @@
-"""Minimal batching data loader with background prefetch.
+"""Batching data loader with multi-worker sample building and prefetch.
 
-Replaces the reference's torch DataLoader usage
+Replaces the reference's torch ``DataLoader(num_workers=N, pin_memory=True)``
 (jarvis/efficienttrack/efficienttrack.py:210-224) on the host side of the
-TPU pipeline: shuffling, batching (optionally dropping the last partial
-batch), and a bounded prefetch thread so host decode overlaps device
-compute.
+TPU pipeline: samples of a batch are built concurrently on a thread pool
+(JPEG decode via cv2/libjpeg and the native C++ pipeline release the GIL,
+so threads parallelize the heavy work without torch's process-fork +
+pickle overhead), batches are collated in submission order, and a bounded
+prefetch queue lets host data building overlap device compute.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -40,6 +44,7 @@ class DataLoader:
         drop_last: bool = False,
         prefetch: int = 2,
         seed: int = 0,
+        num_workers: int = 4,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -47,6 +52,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.rng = np.random.default_rng(seed)
+        self.num_workers = max(0, int(num_workers))
 
     def __len__(self):
         n = len(self.dataset)
@@ -68,14 +74,58 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        def produce():
-            for idxs in batches:
-                if stop.is_set():
-                    break
-                q.put(_collate([self.dataset[int(i)] for i in idxs]))
-            q.put(None)
+        if self.num_workers == 0:
+            def produce_serial():
+                for idxs in batches:
+                    if stop.is_set():
+                        break
+                    q.put(_collate([self.dataset[int(i)] for i in idxs]))
+                q.put(None)
 
-        thread = threading.Thread(target=produce, daemon=True)
+            thread = threading.Thread(target=produce_serial, daemon=True)
+        else:
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+
+            def produce():
+                it = iter(batches)
+                pending: deque = deque()
+
+                def submit_next() -> bool:
+                    idxs = next(it, None)
+                    if idxs is None:
+                        return False
+                    pending.append([
+                        pool.submit(self.dataset.__getitem__, int(i))
+                        for i in idxs
+                    ])
+                    return True
+
+                def put(item) -> bool:
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.2)
+                            return True
+                        except queue.Full:
+                            pass
+                    return False
+
+                try:
+                    # keep prefetch+1 batches worth of samples in flight
+                    for _ in range(self.prefetch + 1):
+                        if not submit_next():
+                            break
+                    while pending:
+                        futs = pending.popleft()
+                        batch = _collate([f.result() for f in futs])
+                        submit_next()
+                        if not put(batch):
+                            return
+                    put(None)
+                finally:
+                    pool.shutdown(wait=False, cancel_futures=True)
+
+            thread = threading.Thread(target=produce, daemon=True)
+
         thread.start()
         try:
             while True:

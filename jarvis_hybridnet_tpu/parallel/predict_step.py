@@ -1,10 +1,19 @@
 """Sharded multi-chip inference.
 
-Shards the fused predict3D cascade over a device mesh: framesets ride the
-'data' axis (each chip processes its shard of the time batch with all
-cameras — the per-frameset DLT/crop logic is local), params are replicated.
-On a pod slice this turns the streaming pipeline into data-parallel
-inference with zero cross-chip communication on the hot path.
+Shards the fused predict3D cascade over a device mesh. Two axes:
+
+* ``data``: framesets (the time batch) — each chip processes its shard of
+  T with zero cross-chip communication on the hot path.
+* ``cameras`` (optional): the camera axis of the multi-view pass. The
+  per-camera 2D network then runs C/n_cam cameras per chip, the tiny
+  per-frameset DLT sees an all-gather of the (T, C, 2) center predictions,
+  and the reprojection layer's camera-mean becomes a cross-chip reduction
+  riding ICI — all inserted by GSPMD from the in_shardings alone. This is
+  the axis where extra chips help most: the voxel gather (the dominant
+  stage, see BASELINE.md) is linear in cameras.
+
+The reference is single-GPU; this is new TPU-native capability
+(SURVEY.md §2 parallelism checklist).
 """
 
 from __future__ import annotations
@@ -24,26 +33,25 @@ def build_sharded_predict3d(
     distortions,
     mesh: Mesh,
     dtype=None,
+    shard_cameras: bool = False,
 ):
     """Like prediction.predictor3d.build_predict3d but jitted with
-    shardings over ``mesh``: imgs (T, C, H, W, 3) sharded on T over 'data';
-    outputs gathered replicated. T must be divisible by the data axis."""
+    shardings over ``mesh``: imgs (T, C, H, W, 3) sharded on T over 'data'
+    (and on C over 'cameras' when ``shard_cameras``); outputs gathered
+    replicated. T must be divisible by the data axis size (and C by the
+    cameras axis size when sharded)."""
     import jax.numpy as jnp
 
-    base = build_predict3d(
+    fn = build_predict3d(
         cfg, center_params, hybridnet_params,
         camera_matrices, intrinsics, distortions,
-        dtype=dtype or jnp.bfloat16,
+        dtype=dtype or jnp.bfloat16, jit=False,
     )
-    # unwrap the inner function from its single-device jit and re-jit with
-    # shardings (jit-of-jit composes, but explicit shardings on the outer
-    # jit are what drive GSPMD)
-    inner = base.__wrapped__
-
-    data_in = NamedSharding(mesh, P("data"))
+    cam_axis = "cameras" if shard_cameras else None
+    data_in = NamedSharding(mesh, P("data", cam_axis))
     repl = NamedSharding(mesh, P())
     return jax.jit(
-        inner,
+        fn,
         in_shardings=(data_in,),
         out_shardings=(repl, repl, repl),
     )

@@ -97,7 +97,12 @@ def make_predictor3d(
     weights_center_detect: str = "latest",
     weights_hybridnet: str = "latest",
     dtype=None,
+    mesh=None,
+    shard_cameras: bool = False,
 ):
+    """Fused 3D predictor. With ``mesh`` the cascade is jitted with
+    shardings over it (framesets on 'data', optionally cameras on
+    'cameras') — multi-chip data/camera-parallel inference."""
     center = load_efficienttrack_params(
         cfg, "CenterDetect", weights_center_detect,
         init_params=init_efficienttrack_params(cfg, "CenterDetect",
@@ -107,6 +112,15 @@ def make_predictor3d(
         cfg, weights_hybridnet,
         init_params=init_hybridnet_params(cfg, abstract=True),
     )
+    if mesh is not None:
+        from ..parallel.predict_step import build_sharded_predict3d
+
+        return build_sharded_predict3d(
+            cfg, center, hybrid,
+            rig.camera_matrices, rig.intrinsics, rig.distortions,
+            mesh=mesh, dtype=dtype or _dtype_from_cfg(cfg),
+            shard_cameras=shard_cameras,
+        )
     return build_predict3d(
         cfg,
         center,

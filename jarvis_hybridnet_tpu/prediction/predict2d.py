@@ -107,12 +107,14 @@ def predict2D(params: Predict2DParams) -> str | None:
             for frames, n in reader:
                 outputs = predictor(jax.device_put(frames))
                 if pending is not None:
-                    done += _drain2d(writer, pending, num_joints, bar,
+                    done += _drain2d(writer, pending[:2], num_joints, bar,
                                      params, done, reader.number_frames)
-                pending = (outputs, n)
+                    reader.recycle(pending[2])
+                pending = (outputs, n, frames)
             if pending is not None:
-                done += _drain2d(writer, pending, num_joints, bar, params,
+                done += _drain2d(writer, pending[:2], num_joints, bar, params,
                                  done, reader.number_frames)
+                reader.recycle(pending[2])
             bar.close()
         reader.release()
     return params.output_dir

@@ -73,6 +73,38 @@ def predict3D(params: Predict3DParams) -> str | None:
 
     video_paths = get_video_paths(params.recording_path, rig.camera_names)
     batch = int(cfg.get("TPU", {}).get("FRAME_BATCH", 8))
+
+    # multi-chip: framesets data-parallel over all devices, optionally the
+    # camera axis sharded too (TPU.SHARD_CAMERAS=n) so the voxel gather and
+    # camera-mean ride ICI (parallel/predict_step.py)
+    import jax
+
+    mesh = None
+    shard_cameras = False
+    if len(jax.devices()) > 1:
+        from ..parallel.mesh import make_mesh
+
+        n_cam = int(cfg.get("TPU", {}).get("SHARD_CAMERAS", 1))
+        n_dev = len(jax.devices())
+        if n_cam > 1 and n_dev % n_cam == 0 and rig.num_cameras % n_cam == 0:
+            mesh = make_mesh(n_data=n_dev // n_cam, n_cameras=n_cam)
+            shard_cameras = True
+        else:
+            mesh = make_mesh(n_data=n_dev, n_cameras=1)
+        n_data = mesh.shape["data"]
+        batch = max(batch, n_data) // n_data * n_data  # divisible by dp
+        clp.info(f"Sharded inference over {n_dev} devices "
+                 f"(data={n_data}, cameras={mesh.shape['cameras']})")
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+        in_sharding = NamedSharding(
+            mesh, PSpec("data", "cameras" if shard_cameras else None)
+        )
+    else:
+        in_sharding = None
+
     reader = MultiCameraReader(
         video_paths,
         frame_start=params.frame_start,
@@ -88,12 +120,14 @@ def predict3D(params: Predict3DParams) -> str | None:
     shape = (batch, rig.num_cameras, H, W, 3)
     artifact = aot.artifact_path(cfg, "predict3D", shape)
     predictor = None
-    if params.trt_mode == "previous" and os.path.isfile(artifact):
+    if (params.trt_mode == "previous" and os.path.isfile(artifact)
+            and mesh is None):
         clp.info(f"Loading exported predictor: {artifact}")
         predictor = aot.load_predictor(artifact)
     if predictor is None:
         predictor = make_predictor3d(
-            cfg, rig, params.weights_center_detect, params.weights_hybridnet
+            cfg, rig, params.weights_center_detect, params.weights_hybridnet,
+            mesh=mesh, shard_cameras=shard_cameras,
         )
         if params.trt_mode == "new":
             import numpy as _np
@@ -124,18 +158,25 @@ def predict3D(params: Predict3DParams) -> str | None:
         # host->device transfer and TPU compute overlap
         import jax
 
-        pending = None  # (outputs, n)
+        pending = None  # (outputs, n, host buffer)
         for frames, n in reader:
-            outputs = predictor(jax.device_put(frames))
+            dev_frames = (jax.device_put(frames, in_sharding)
+                          if in_sharding is not None
+                          else jax.device_put(frames))
+            outputs = predictor(dev_frames)
             if pending is not None:
-                _drain(writer, pending, num_joints, bar, params,
+                _drain(writer, pending[:2], num_joints, bar, params,
                        done, reader.number_frames)
                 done += pending[1]
-            pending = (outputs, n)
+                # results fetched -> the batch's H2D transfer is long done;
+                # hand the ring buffer back to the decode threads
+                reader.recycle(pending[2])
+            pending = (outputs, n, frames)
         if pending is not None:
-            _drain(writer, pending, num_joints, bar, params,
+            _drain(writer, pending[:2], num_joints, bar, params,
                    done, reader.number_frames)
             done += pending[1]
+            reader.recycle(pending[2])
         bar.close()
     reader.release()
     if profile_dir:

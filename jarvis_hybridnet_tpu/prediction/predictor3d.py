@@ -31,11 +31,14 @@ def build_predict3d(
     intrinsics,  # (C, 3, 3)
     distortions,  # (C, 1, 5)
     dtype=jnp.float32,
+    jit: bool = True,
 ):
     """Returns a jitted ``fn(imgs) -> (points3D, confidences, valid)``.
 
     imgs: (T, C, H, W, 3) float32 RGB in [0, 1].
     points3D: (T, J, 3) world mm; confidences: (T, J); valid: (T,) bool.
+    ``jit=False`` returns the traced-but-unjitted function so callers can
+    jit it themselves with explicit shardings (parallel/predict_step.py).
     """
     center_size = int(cfg.CENTERDETECT.IMAGE_SIZE)
     bbox = int(cfg.KEYPOINTDETECT.BOUNDING_BOX_SIZE)
@@ -61,7 +64,6 @@ def build_predict3d(
         repro_mode=str(cfg.get("TPU", {}).get("REPRO_MODE", "exact")),
     )
 
-    @jax.jit
     def predict(imgs: jnp.ndarray):
         # uint8 frames stay uint8 until after the resize gathers / crop
         # slices — 4x less HBM traffic on the full-resolution frames.
@@ -124,4 +126,4 @@ def build_predict3d(
         )
         return points3d, confidences, valid
 
-    return predict
+    return jax.jit(predict) if jit else predict

@@ -2,10 +2,14 @@
 
 Replaces the reference's per-frame joblib thread reads
 (jarvis/prediction/predict3D.py:75-80) with a prefetching, frame-batching
-reader: a background thread decodes ahead into a bounded queue while the TPU
-consumes the previous batch, so device compute and host decode overlap. The
-reader yields (T, C, H, W, 3) float32 RGB batches sized for the jitted
-predictor's static shape (the tail batch is zero-padded + masked).
+reader that decodes every camera in its OWN thread (the reference's 12
+shared-memory joblib threads, made persistent): each thread owns one
+cv2.VideoCapture, decodes sequentially, and writes BGR->RGB converted
+frames directly into shared (T, C, H, W, 3) uint8 ring buffers, so both
+decode and the ~4 MB/frame color conversion parallelize across cameras.
+An emitter publishes each buffer as soon as every camera has filled its
+slots, while the TPU consumes the previous batch — decode and device
+compute overlap, bounded by the ring size.
 """
 
 from __future__ import annotations
@@ -38,7 +42,15 @@ def get_video_paths(recording_path: str, camera_names: list[str]) -> list[str]:
 
 
 class MultiCameraReader:
-    """Synchronized multi-camera video reader with background prefetch."""
+    """Synchronized multi-camera video reader: one decode thread per camera,
+    shared ring of batch buffers, bounded prefetch.
+
+    Yields ``(batch, n)`` where batch is (T, C, H, W, 3) uint8 RGB and n is
+    the number of valid framesets (the tail batch is partially filled).
+    Buffers are recycled when the consumer calls :meth:`recycle`; a consumer
+    that never recycles still makes progress (new buffers are allocated up
+    to ``max_buffers``) at the cost of extra host memory.
+    """
 
     def __init__(
         self,
@@ -47,6 +59,7 @@ class MultiCameraReader:
         number_frames: int = -1,
         batch_size: int = 4,
         prefetch: int = 2,
+        max_buffers: int = 16,
     ):
         assert cv2 is not None, "OpenCV is required for video decoding"
         self.caps = []
@@ -75,36 +88,110 @@ class MultiCameraReader:
             )
         self.number_frames = number_frames
         self.batch_size = batch_size
-        self._queue: queue.Queue = queue.Queue(maxsize=prefetch)
-        self._thread = threading.Thread(target=self._produce, daemon=True)
-        self._thread.start()
 
-    def _produce(self):
         C = len(self.caps)
-        W, H = self.img_size
-        remaining = self.number_frames
-        while remaining > 0:
-            n = min(self.batch_size, remaining)
-            # uint8 RGB batches: the device-side predictor performs the /255
-            # scaling, so host->device transfer is 4x smaller than float32
-            batch = np.zeros((self.batch_size, C, H, W, 3), np.uint8)
-            ok = n
-            for t in range(n):
-                for c, cap in enumerate(self.caps):
-                    ret, img = cap.read()
-                    if not ret:
-                        ok = t
+        W, H = img_size
+        self._shape = (batch_size, C, H, W, 3)
+        self._lock = threading.Condition()
+        # ring state (all guarded by _lock):
+        self._assigned: list[np.ndarray] = []  # buffer for batch b
+        self._free: list[np.ndarray] = [
+            np.empty(self._shape, np.uint8) for _ in range(prefetch + 1)
+        ]
+        self._n_alloc = prefetch + 1
+        self._max_buffers = max(max_buffers, prefetch + 1)
+        self._progress = [0] * C  # frames fully written per camera
+        self._stopped = False
+        self._queue: queue.Queue = queue.Queue()
+
+        self._threads = [
+            threading.Thread(target=self._decode_camera, args=(c,),
+                             daemon=True)
+            for c in range(C)
+        ]
+        self._emitter = threading.Thread(target=self._emit, daemon=True)
+        for t in self._threads:
+            t.start()
+        self._emitter.start()
+
+    # -- producer side ----------------------------------------------------
+
+    def _buffer_for(self, b: int) -> np.ndarray | None:
+        """Buffer assigned to batch index b, assigning ring buffers in
+        order (blocks when the ring is fully in flight)."""
+        with self._lock:
+            while len(self._assigned) <= b:
+                if self._stopped:
+                    return None
+                if self._free:
+                    self._assigned.append(self._free.pop())
+                elif self._n_alloc < self._max_buffers:
+                    self._assigned.append(np.empty(self._shape, np.uint8))
+                    self._n_alloc += 1
+                else:
+                    self._lock.wait()
+            return self._assigned[b]
+
+    def _decode_camera(self, c: int):
+        T = self.batch_size
+        cap = self.caps[c]
+        for f in range(self.number_frames):
+            buf = self._buffer_for(f // T)
+            if buf is None:
+                break
+            ret, img = cap.read()
+            if not ret:
+                break
+            cv2.cvtColor(img, cv2.COLOR_BGR2RGB, dst=buf[f % T, c])
+            with self._lock:
+                self._progress[c] = f + 1
+                self._lock.notify_all()
+        with self._lock:
+            self._progress[c] = -self._progress[c] - 1  # mark camera done
+            self._lock.notify_all()
+
+    @staticmethod
+    def _min_progress(progress) -> tuple[int, bool]:
+        done = all(p < 0 for p in progress)
+        return min(p if p >= 0 else -p - 1 for p in progress), done
+
+    def _emit(self):
+        T = self.batch_size
+        b = 0
+        while True:
+            end = min((b + 1) * T, self.number_frames)
+            with self._lock:
+                while True:
+                    lo, done = self._min_progress(self._progress)
+                    if self._stopped:
+                        return
+                    if lo >= end or done:
                         break
-                    batch[t, c] = img[:, :, ::-1]  # BGR -> RGB
-                if ok == t:
-                    break
-            if ok == 0:
+                    self._lock.wait()
+                n = min(lo, end) - b * T
+                buf = self._assigned[b] if n > 0 else None
+                if buf is not None:
+                    # drop the producer-side reference: after this, the
+                    # buffer is owned by the consumer until recycle()
+                    self._assigned[b] = None
+            if n <= 0:
                 break
-            self._queue.put((batch, ok))
-            remaining -= ok
-            if ok < n:
+            self._queue.put((buf, n))
+            if done and lo < (b + 1) * T:
                 break
+            if end >= self.number_frames:
+                break
+            b += 1
         self._queue.put(None)
+
+    # -- consumer side -----------------------------------------------------
+
+    def recycle(self, batch: np.ndarray) -> None:
+        """Return a yielded buffer to the ring (call once results that
+        depend on it have been fetched)."""
+        with self._lock:
+            self._free.append(batch)
+            self._lock.notify_all()
 
     def __iter__(self):
         while True:
@@ -114,6 +201,12 @@ class MultiCameraReader:
             yield item
 
     def release(self):
+        with self._lock:
+            self._stopped = True
+            self._lock.notify_all()
+        for t in self._threads:
+            t.join(timeout=5)
+        self._emitter.join(timeout=5)
         for cap in self.caps:
             cap.release()
 
@@ -127,3 +220,8 @@ class SingleVideoReader(MultiCameraReader):
     def __iter__(self):
         for batch, n in super().__iter__():
             yield batch[:, 0], n
+
+    def recycle(self, batch: np.ndarray) -> None:
+        # batch is a (T, H, W, 3) view of the underlying (T, 1, H, W, 3)
+        # ring buffer; return the base buffer to the ring
+        super().recycle(batch.base if batch.base is not None else batch)

@@ -123,13 +123,14 @@ class EfficientTrackTrainer:
               start_epoch=0, streamlitWidgets=None,
               resume_from=None) -> dict:
         cfg = self.cfg
+        workers = int(self.main_cfg.get("DATALOADER_NUM_WORKERS", 4))
         train_loader = DataLoader(
             training_set, batch_size=int(cfg.BATCH_SIZE), shuffle=True,
-            drop_last=True,
+            drop_last=True, num_workers=workers,
         )
         val_loader = DataLoader(
             validation_set, batch_size=int(cfg.BATCH_SIZE), shuffle=False,
-            drop_last=True,
+            drop_last=True, num_workers=workers,
         )
         steps_per_epoch = len(train_loader)
         use_onecycle = bool(cfg.USE_ONECYLCLE)
@@ -161,10 +162,16 @@ class EfficientTrackTrainer:
         history = {k: [] for k in
                    ("train_loss", "train_acc", "val_loss", "val_acc")}
 
+        from ..utils.st_monitor import StreamlitTrainingMonitor
+
+        monitor = StreamlitTrainingMonitor(streamlitWidgets, self.mode,
+                                           acc_unit="px")
+        monitor.start(num_epochs)
+
         step = 0
         for epoch in range(start_epoch, num_epochs):
             bar = tqdm(train_loader, total=steps_per_epoch)
-            for imgs, targets, keypoints in bar:
+            for count, (imgs, targets, keypoints) in enumerate(bar):
                 rng, sub = jax.random.split(rng)
                 self.params, opt_state, loss, hm2 = train_step(
                     self.params, opt_state, lr_scale, sub,
@@ -185,6 +192,8 @@ class EfficientTrackTrainer:
                         epoch + 1, num_epochs, self.lossMeter.read(),
                         self.accuracyMeter.read())
                 )
+                if streamlitWidgets is not None:
+                    monitor.step(count, steps_per_epoch)
 
             if plateau is not None:
                 new_lr = plateau.step(self.lossMeter.read())
@@ -244,7 +253,7 @@ class EfficientTrackTrainer:
                 self.accuracyMeter.reset()
 
             if streamlitWidgets is not None:
-                streamlitWidgets[0].progress((epoch + 1) / num_epochs)
+                monitor.epoch(epoch, num_epochs, history)
 
         return results
 

@@ -122,10 +122,13 @@ class HybridNetTrainer:
               start_epoch=0, streamlitWidgets=None,
               resume_from=None) -> dict:
         cfg = self.cfg.HYBRIDNET
+        workers = int(self.cfg.get("DATALOADER_NUM_WORKERS", 4))
         train_loader = DataLoader(
-            training_set, batch_size=int(cfg.BATCH_SIZE), shuffle=True)
+            training_set, batch_size=int(cfg.BATCH_SIZE), shuffle=True,
+            num_workers=workers)
         val_loader = DataLoader(
-            validation_set, batch_size=int(cfg.BATCH_SIZE), shuffle=False)
+            validation_set, batch_size=int(cfg.BATCH_SIZE), shuffle=False,
+            num_workers=workers)
         steps_per_epoch = len(train_loader)
         use_onecycle = bool(cfg.USE_ONECYLCLE)
         labels = optim.hybridnet_freeze_labels(
@@ -151,7 +154,15 @@ class HybridNetTrainer:
         lr_scale = 1.0
         results = {"train_loss": 0, "train_acc": 0,
                    "val_loss": 0, "val_acc": 0}
+        history = {k: [] for k in
+                   ("train_loss", "train_acc", "val_loss", "val_acc")}
         step = 0
+
+        from ..utils.st_monitor import StreamlitTrainingMonitor
+
+        monitor = StreamlitTrainingMonitor(streamlitWidgets, "HybridNet",
+                                           acc_unit="mm")
+        monitor.start(num_epochs)
 
         def to_batch(b):
             return {
@@ -166,7 +177,7 @@ class HybridNetTrainer:
 
         for epoch in range(start_epoch, num_epochs):
             bar = tqdm(train_loader, total=steps_per_epoch)
-            for b in bar:
+            for count, b in enumerate(bar):
                 rng, sub = jax.random.split(rng)
                 self.params, opt_state, loss, pts = train_step(
                     self.params, opt_state, lr_scale, sub, to_batch(b))
@@ -180,6 +191,8 @@ class HybridNetTrainer:
                     "Epoch: {}/{}. Loss: {:.4f}. Acc: {:.2f}".format(
                         epoch + 1, num_epochs, self.lossMeter.read(),
                         self.accuracyMeter.read()))
+                if streamlitWidgets is not None:
+                    monitor.step(count, steps_per_epoch)
 
             if plateau is not None:
                 lr_scale = plateau.step(self.lossMeter.read()) / float(
@@ -189,6 +202,8 @@ class HybridNetTrainer:
             self.logger.update_train_accuracy(self.accuracyMeter.read())
             results["train_loss"] = self.lossMeter.read()
             results["train_acc"] = self.accuracyMeter.read()
+            history["train_loss"].append(results["train_loss"])
+            history["train_acc"].append(results["train_acc"])
             self.lossMeter.reset()
             self.accuracyMeter.reset()
 
@@ -217,13 +232,15 @@ class HybridNetTrainer:
                     self.accuracyMeter.read()))
                 results["val_loss"] = self.lossMeter.read()
                 results["val_acc"] = self.accuracyMeter.read()
+                history["val_loss"].append(results["val_loss"])
+                history["val_acc"].append(results["val_acc"])
                 self.logger.update_val_loss(self.lossMeter.read())
                 self.logger.update_val_accuracy(self.accuracyMeter.read())
                 self.lossMeter.reset()
                 self.accuracyMeter.reset()
 
             if streamlitWidgets is not None:
-                streamlitWidgets[0].progress((epoch + 1) / num_epochs)
+                monitor.epoch(epoch, num_epochs, history)
 
         return results
 

@@ -1,0 +1,67 @@
+"""Analysis pages of the Streamlit GUI
+(reference: jarvis/ui/gui/analyze_gui.py): run the validation analysis and
+render the error plots inline."""
+
+from __future__ import annotations
+
+import os
+
+import streamlit as st
+
+
+def _latest_analysis_dir(cfg):
+    base = os.path.join(cfg.PARENT_DIR, cfg.PROJECTS_ROOT_PATH,
+                        cfg.PROJECT_NAME, "analysis")
+    if not os.path.isdir(base):
+        return None
+    runs = sorted(
+        (os.path.join(base, d) for d in os.listdir(base)
+         if os.path.isdir(os.path.join(base, d))),
+        key=os.path.getmtime, reverse=True,
+    )
+    return runs[0] if runs else None
+
+
+def analyze_gui(project, cfg):
+    st.header("Validation analysis")
+    col1, col2 = st.columns(2)
+    with col1:
+        weights_center = st.text_input("CenterDetect weights:",
+                                       value="latest")
+    with col2:
+        weights_hybridnet = st.text_input("HybridNet weights:",
+                                          value="latest")
+    if st.button("Analyze validation data"):
+        from ...analysis.analyze import analyze_validation_data
+
+        bar = st.progress(0)
+        out = analyze_validation_data(
+            project, weights_center=weights_center,
+            weights_hybridnet=weights_hybridnet, progress_bar=bar)
+        if out:
+            st.success(f"Analysis written to {out}")
+            st.session_state["analysis_dir"] = out
+        else:
+            st.error("Analysis failed.")
+
+    path = st.session_state.get("analysis_dir") or _latest_analysis_dir(cfg)
+    if path is None:
+        st.info("No analysis runs yet.")
+        return
+    st.subheader(f"Plots — {os.path.basename(path)}")
+    plot = st.selectbox("Plot", ["Error histogram", "Error per keypoint",
+                                 "Error histogram per keypoint"])
+    cutoff = st.number_input("Cutoff (mm, -1 = none):", value=-1)
+    if st.button("Render plot"):
+        from ...analysis import plotting
+
+        if plot == "Error histogram":
+            fig = plotting.plot_error_histogram(
+                path, cutoff=int(cutoff), interactive=False)
+        elif plot == "Error per keypoint":
+            fig = plotting.plot_error_per_keypoint(
+                path, project, interactive=False)
+        else:
+            fig = plotting.plot_error_histogram_per_keypoint(
+                path, project, cutoff=int(cutoff), interactive=False)
+        st.pyplot(fig)

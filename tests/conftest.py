@@ -20,6 +20,14 @@ import jax
 # starts; the config update takes precedence over the inherited env var.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the heavy jitted graphs (fused predictors,
+# sharded train steps) compile once per source change instead of once per
+# test run — the dominant cost of this suite's wall time.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".xla_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import pathlib
 import sys
 

@@ -28,3 +28,76 @@ def test_pick_project_lists(monkeypatch, tmp_path, capsys):
     answers = iter(["1"])
     monkeypatch.setattr(builtins, "input", lambda *a: next(answers))
     assert interactive_cli._pick_project() == "P1"
+
+
+def _script(monkeypatch, answers):
+    it = iter(answers)
+    monkeypatch.setattr(builtins, "input", lambda *a: next(it))
+
+
+def test_pretrain_picker(monkeypatch, tmp_path):
+    pt = tmp_path / "pretrained" / "MonkeyHand"
+    pt.mkdir(parents=True)
+    (pt / "EfficientTrack_Center-small.pth").write_bytes(b"x")
+    # pick the named pretrain (option 2 after 'None')
+    _script(monkeypatch, ["2"])
+    assert interactive_cli._pick_weights_or_pretrain(str(tmp_path)) == \
+        "MonkeyHand"
+    # 'None' then decline explicit path
+    _script(monkeypatch, ["1", "2"])
+    assert interactive_cli._pick_weights_or_pretrain(str(tmp_path)) is None
+    # 'None' then give a path (validated to exist + suffix)
+    w = tmp_path / "w.ckpt"
+    w.write_bytes(b"x")
+    _script(monkeypatch, ["1", "1", "/nope.pth", str(w)])
+    assert interactive_cli._pick_weights_or_pretrain(str(tmp_path)) == str(w)
+
+
+def test_model_weights_picker(monkeypatch, tmp_path):
+    _script(monkeypatch, ["1"])
+    assert interactive_cli._pick_model_weights("CenterDetect") == "latest"
+    w = tmp_path / "c.pth"
+    w.write_bytes(b"x")
+    _script(monkeypatch, ["2", str(w)])
+    assert interactive_cli._pick_model_weights("CenterDetect") == str(w)
+
+
+def test_frame_range_prompt_bounded(monkeypatch, tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    import numpy as np
+
+    path = tmp_path / "cam.avi"
+    w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"MJPG"), 30,
+                        (32, 32))
+    for _ in range(10):
+        w.write(np.zeros((32, 32, 3), np.uint8))
+    w.release()
+    # whole video
+    _script(monkeypatch, ["1"])
+    assert interactive_cli.get_frame_start_number(str(path)) == (0, -1)
+    # bounded prompts: start 99 rejected (max 9), then 2; frames 4
+    _script(monkeypatch, ["2", "99", "2", "4"])
+    assert interactive_cli.get_frame_start_number(str(path)) == (2, 4)
+
+
+def test_compiled_mode_wizard(monkeypatch, tmp_path):
+    from jarvis_hybridnet_tpu.config.defaults import get_default_cfg
+
+    cfg = get_default_cfg()
+    cfg.PARENT_DIR = str(tmp_path)
+    cfg.PROJECT_NAME = "P"
+    # no saved artifact -> 'new'
+    _script(monkeypatch, ["1"])
+    assert interactive_cli.get_compiled_mode(cfg, "predict3D") == "new"
+    # saved artifact present -> reuse
+    d = tmp_path / "projects" / "P" / "compiled-models"
+    d.mkdir(parents=True)
+    (d / "predict3D_1x2.jaxexp").write_bytes(b"x")
+    _script(monkeypatch, ["1", "1"])
+    assert interactive_cli.get_compiled_mode(cfg, "predict3D") == "previous"
+    # decline reuse, confirm override -> 'new'
+    _script(monkeypatch, ["1", "2", "1"])
+    assert interactive_cli.get_compiled_mode(cfg, "predict3D") == "new"
+    # decline acceleration entirely -> 'off'
+    _script(monkeypatch, ["2"])
+    assert interactive_cli.get_compiled_mode(cfg, "predict3D") == "off"

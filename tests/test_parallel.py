@@ -130,3 +130,15 @@ def test_sharded_predict3d(example_dataset):
     assert np.array_equal(np.asarray(valid_s), np.asarray(valid_p))
     np.testing.assert_allclose(np.asarray(pts_s), np.asarray(pts_p),
                                rtol=1e-4, atol=1e-3)
+
+    # camera-sharded variant: cameras over the 'cameras' mesh axis — the
+    # camera-mean in the repro gather and the DLT's cross-camera view
+    # become ICI collectives inserted by GSPMD
+    mesh_c = make_mesh(n_data=4, n_cameras=2)
+    sharded_c = build_sharded_predict3d(cfg, center, hybrid, Pm, Km, Dm,
+                                        mesh_c, dtype=jnp.float32,
+                                        shard_cameras=True)
+    pts_c, conf_c, valid_c = sharded_c(imgs)
+    assert np.array_equal(np.asarray(valid_s), np.asarray(valid_c))
+    np.testing.assert_allclose(np.asarray(pts_s), np.asarray(pts_c),
+                               rtol=1e-4, atol=1e-3)
