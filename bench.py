@@ -19,6 +19,27 @@ import time
 import numpy as np
 
 
+def _fidelity_checkpoint(cfg):
+    """HybridNet checkpoint used for perf-at-fidelity runs: seed-7 V2V +
+    the real pretrained KeypointDetect-small 2D weights — the same
+    construction the <2 mm golden test pins against torch
+    (tests/test_predictor_golden.py). Built once, cached on disk."""
+    from jarvis_hybridnet_tpu.prediction.loaders import init_hybridnet_params
+    from jarvis_hybridnet_tpu.training import checkpoints
+
+    ckpt = "/tmp/jarvis_fidelity_hybridnet.ckpt"
+    if not os.path.isfile(ckpt):
+        params = init_hybridnet_params(cfg, seed=7)
+        params["effTrack"] = checkpoints.load_efficienttrack_params(
+            cfg, "KeypointDetect",
+            "/root/reference/pretrained/MonkeyHand/"
+            "EfficientTrack_Keypoints-small.pth",
+            init_params=params["effTrack"],
+        )
+        checkpoints.save_checkpoint(params, ckpt)
+    return ckpt
+
+
 def main():
     import jax
 
@@ -40,13 +61,17 @@ def main():
     rig = load_camera_rigs("/root/reference/datasets/Example_Dataset")[
         "12Cam_Ralph"
     ]
+    ckpt = _fidelity_checkpoint(cfg)
+    print(f"hybridnet checkpoint: {ckpt} (seed-7 V2V + pretrained "
+          f"KeypointDetect-small 2D; <2 mm fast-vs-exact guarded by "
+          f"bench.py --fidelity)", file=sys.stderr)
     predictor = make_predictor3d(
         cfg,
         rig,
         weights_center_detect=(
             "/root/reference/pretrained/MonkeyHand/"
             "EfficientTrack_Center-small.pth"),
-        weights_hybridnet=None,
+        weights_hybridnet=ckpt,
     )
 
     T, C, H, W = 8, 12, 1024, 1280
@@ -225,11 +250,7 @@ def main_fidelity():
     import cv2
 
     from jarvis_hybridnet_tpu.config import ProjectManager
-    from jarvis_hybridnet_tpu.prediction.loaders import (
-        init_hybridnet_params,
-        make_predictor3d,
-    )
-    from jarvis_hybridnet_tpu.training import checkpoints
+    from jarvis_hybridnet_tpu.prediction.loaders import make_predictor3d
     from jarvis_hybridnet_tpu.utils.calibration import load_camera_rigs
 
     pm = ProjectManager(parent_dir="/root/reference")
@@ -238,14 +259,7 @@ def main_fidelity():
     cfg.DATASET.IMAGE_SIZE = [1280, 1024]
 
     pretrain = "/root/reference/pretrained/MonkeyHand"
-    params = init_hybridnet_params(cfg, seed=7)
-    params["effTrack"] = checkpoints.load_efficienttrack_params(
-        cfg, "KeypointDetect",
-        f"{pretrain}/EfficientTrack_Keypoints-small.pth",
-        init_params=params["effTrack"],
-    )
-    ckpt = "/tmp/jarvis_fidelity_hybridnet.ckpt"
-    checkpoints.save_checkpoint(params, ckpt)
+    ckpt = _fidelity_checkpoint(cfg)
 
     rig = load_camera_rigs("/root/reference/datasets/Example_Dataset")[
         "12Cam_Ralph"
@@ -281,6 +295,14 @@ def main_fidelity():
     pts_f = np.asarray(pts_f)
     assert bool(np.asarray(valid_e)[0]) and bool(np.asarray(valid_f)[0])
     dev_mm = float(np.linalg.norm(pts_e - pts_f, axis=-1).max())
+
+    # free the exact-mode predictor's buffers before timing the fast path —
+    # the f32 exact graph holds multi-GB gather intermediates and the
+    # resulting HBM pressure distorts the throughput loop
+    del exact, valid_e
+    import gc
+
+    gc.collect()
 
     # fast-path throughput at this checkpoint
     b2 = np.roll(batch, 1, axis=2).copy()

@@ -19,6 +19,17 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 
+class _ProducerError:
+    """Sentinel carrying a producer-side exception to the consumer.
+
+    Without it, a sample-building failure kills the producer thread
+    silently and the consuming loop blocks on the queue forever.
+    """
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 def _collate(samples):
     first = samples[0]
     if isinstance(first, dict):
@@ -76,11 +87,14 @@ class DataLoader:
 
         if self.num_workers == 0:
             def produce_serial():
-                for idxs in batches:
-                    if stop.is_set():
-                        break
-                    q.put(_collate([self.dataset[int(i)] for i in idxs]))
-                q.put(None)
+                try:
+                    for idxs in batches:
+                        if stop.is_set():
+                            break
+                        q.put(_collate([self.dataset[int(i)] for i in idxs]))
+                    q.put(None)
+                except BaseException as e:  # propagate to the consumer
+                    q.put(_ProducerError(e))
 
             thread = threading.Thread(target=produce_serial, daemon=True)
         else:
@@ -121,6 +135,8 @@ class DataLoader:
                         if not put(batch):
                             return
                     put(None)
+                except BaseException as e:  # propagate to the consumer
+                    put(_ProducerError(e))
                 finally:
                     pool.shutdown(wait=False, cancel_futures=True)
 
@@ -132,6 +148,8 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, _ProducerError):
+                    raise item.exc
                 yield item
         finally:
             stop.set()

@@ -79,6 +79,10 @@ class HybridNetBackbone(nn.Module):
             grid_size,
             float(self.grid_spacing),
             mode=self.repro_mode,
+            # bf16 rows halve the HBM-random-read cost of the gather (the
+            # dominant stage); 'exact' mode stays float32 (see repro.py)
+            gather_dtype=(self.dtype if self.repro_mode != "exact"
+                          else None),
         )  # (B, G, G, G, J) — already the V2V layout
 
         vol = (voxels / 255.0).astype(self.dtype)

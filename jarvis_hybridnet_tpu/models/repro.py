@@ -141,6 +141,7 @@ def reproject_indices(
 def gather_voxel_volume(
     heatmaps: jnp.ndarray,  # (B, C, J, hs, hs) padded stride-2 heatmaps
     indices: jnp.ndarray,  # (B, C, ...) flat within-image pixel indices
+    acc_dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
     """Gather heatmap values at the projected pixels, mean over cameras.
 
@@ -181,7 +182,8 @@ def gather_voxel_volume(
     # DMA gather, which fetches each voxel's whole contiguous J-vector
     # with one descriptor (~25M rows/s). The 'half' mode above attacks
     # the real cost (descriptor count) instead.
-    bytes_per_out = B * N * 128 * 4  # 23 joints tile-pad to 128 lanes
+    # 23 joints tile-pad to 128 lanes
+    bytes_per_out = B * N * 128 * heatmaps.dtype.itemsize
     group = C if C * bytes_per_out < 4 << 30 else max(1, (4 << 30) // bytes_per_out)
 
     acc = None
@@ -190,6 +192,7 @@ def gather_voxel_volume(
         if acc is not None and c % group == 0:
             idx_c = idx_c + (acc[0, 0] * 0.0).astype(jnp.int32)
         vals = jnp.take(hm_rows[c], idx_c, axis=0)  # (B*N, J)
+        vals = vals.astype(acc_dtype)
         acc = vals if acc is None else acc + vals
     return (acc / C).reshape(B, N, J)
 
@@ -204,6 +207,7 @@ def reprojection_layer(
     grid_size: int,
     grid_spacing: float,
     mode: str = "exact",
+    gather_dtype: jnp.dtype | None = None,
 ) -> jnp.ndarray:
     """Batched voxel reprojection: (B, G, G, G, J) (NDHWC, V2V-ready).
 
@@ -223,6 +227,14 @@ def reprojection_layer(
     the (G/2)^3 gathered volume is returned directly and V2VNet's front
     layer applies the exact upsample+stride-2-conv composition
     (ops/fused_upfront.py) — same numerics as 'half', no 72^3 buffers.
+
+    ``gather_dtype`` (half modes only): cast the heatmaps to this dtype
+    before the gather. The gather is HBM-random-read bound at ~10 GB/s
+    effective, so bfloat16 rows (46 B vs 92 B for J=23) halve both the
+    scattered reads and the tile-padded per-camera intermediates; values
+    are <=255 Gaussians, so the <=1-ulp bf16 rounding is far inside the
+    2 mm budget (guarded on-chip by ``bench.py --fidelity``). The camera
+    accumulator stays float32. 'exact' mode always gathers float32.
     """
     hs = heatmaps.shape[-1]
     G = grid_size
@@ -243,6 +255,8 @@ def reprojection_layer(
             c3d, chm, P, K, D, grid_size, grid_spacing, hs, upsample=False
         )
     )(center3d, center_hm, camera_matrices, intrinsics, distortions)
+    if gather_dtype is not None:
+        heatmaps = heatmaps.astype(gather_dtype)
     half = gather_voxel_volume(heatmaps, idx)  # (B, g2^3, J)
     J = half.shape[-1]
     half = half.reshape(-1, g2, g2, g2, J)

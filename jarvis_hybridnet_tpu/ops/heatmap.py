@@ -58,10 +58,14 @@ def gaussian_heatmaps(
             continue
         ul = (int(np.round(cx - 3 * sigma - 1)), int(np.round(cy - 3 * sigma - 1)))
         br = (int(np.round(cx + 3 * sigma + 2)), int(np.round(cy + 3 * sigma + 2)))
-        a, b = max(0, -ul[1]), min(br[1], output_size) - ul[1]
-        c, d = max(0, -ul[0]), min(br[0], output_size) - ul[0]
-        aa, bb = max(0, ul[1]), min(br[1], output_size)
-        cc, dd = max(0, ul[0]), min(br[0], output_size)
+        # clip the stamp window to both the map and the kernel: for the
+        # reference's sigmas (>= 0.5) the rounded window never exceeds the
+        # kernel, but tiny sigmas (very small IMAGE_SIZE) would otherwise
+        # slice past g's bounds and crash on shape mismatch
+        a, b = max(0, -ul[1]), min(min(br[1], output_size) - ul[1], size)
+        c, d = max(0, -ul[0]), min(min(br[0], output_size) - ul[0], size)
+        aa, cc = max(0, ul[1]), max(0, ul[0])
+        bb, dd = aa + (b - a), cc + (d - c)
         hms[idx, aa:bb, cc:dd] = np.maximum(hms[idx, aa:bb, cc:dd], g[a:b, c:d])
     return hms
 

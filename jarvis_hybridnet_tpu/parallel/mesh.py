@@ -51,3 +51,19 @@ def shard_params(params, mesh: Mesh):
 
 def shard_batch(batch, mesh: Mesh, spec: P = P("data")):
     return jax.device_put(batch, NamedSharding(mesh, spec))
+
+
+def auto_data_mesh(batch_size: int) -> Mesh | None:
+    """Data-parallel mesh over all live devices when the global batch
+    divides across them; ``None`` -> stay single-device.
+
+    This is the trainers' production scale-out switch (the reference has
+    no multi-GPU story at all — bare ``.cuda()``,
+    jarvis/efficienttrack/efficienttrack.py:70): with N chips visible and
+    ``BATCH_SIZE % N == 0`` the train step is jitted with 'data'
+    shardings and GSPMD inserts the gradient all-reduce over ICI.
+    """
+    devices = jax.devices()
+    if len(devices) <= 1 or batch_size % len(devices) != 0:
+        return None
+    return make_mesh(n_data=len(devices))

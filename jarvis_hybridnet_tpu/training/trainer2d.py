@@ -88,13 +88,34 @@ class EfficientTrackTrainer:
             self.params = loaded
 
     # -- jitted steps -----------------------------------------------------
-    def _build_steps(self, tx):
+    def _build_steps(self, tx, mesh=None):
         """Fresh jitted step closures per train() call — jitting methods
         with a static ``self`` would cache the first optimizer/trace across
-        reconfigured runs."""
-        model = self.model
+        reconfigured runs.
 
-        @jax.jit
+        With ``mesh`` (multi-chip: parallel/mesh.auto_data_mesh) steps are
+        jitted with 'data' shardings on the batch; params/optimizer state
+        replicated, gradient all-reduce inserted by GSPMD over ICI."""
+        model = self.model
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            train_jit = lambda f: jax.jit(  # noqa: E731
+                f,
+                in_shardings=(repl, repl, repl, repl, data, data, data),
+                out_shardings=(repl, repl, repl, data),
+            )
+            eval_jit = lambda f: jax.jit(  # noqa: E731
+                f,
+                in_shardings=(repl, data, data, data),
+                out_shardings=(repl, data),
+            )
+        else:
+            train_jit = eval_jit = jax.jit
+
+        @train_jit
         def train_step(params, opt_state, lr_scale, rng, imgs, t4, t2):
             def loss_fn(p):
                 outputs = model.apply(
@@ -110,7 +131,7 @@ class EfficientTrackTrainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, jnp.clip(hm2, 0, 255)
 
-        @jax.jit
+        @eval_jit
         def eval_step(params, imgs, t4, t2):
             outputs = model.apply({"params": params}, imgs)
             return heatmap_loss(outputs, (t4, t2)), \
@@ -124,14 +145,13 @@ class EfficientTrackTrainer:
               resume_from=None) -> dict:
         cfg = self.cfg
         workers = int(self.main_cfg.get("DATALOADER_NUM_WORKERS", 4))
-        train_loader = DataLoader(
-            training_set, batch_size=int(cfg.BATCH_SIZE), shuffle=True,
-            drop_last=True, num_workers=workers,
-        )
-        val_loader = DataLoader(
-            validation_set, batch_size=int(cfg.BATCH_SIZE), shuffle=False,
-            drop_last=True, num_workers=workers,
-        )
+        from ..parallel.mesh import auto_data_mesh
+        from ..parallel.multihost import local_np, make_dp_loaders
+
+        mesh = auto_data_mesh(int(cfg.BATCH_SIZE))
+        train_loader, val_loader = make_dp_loaders(
+            training_set, validation_set, int(cfg.BATCH_SIZE), workers,
+            mesh, drop_last=True)
         steps_per_epoch = len(train_loader)
         use_onecycle = bool(cfg.USE_ONECYLCLE)
         if use_onecycle:
@@ -145,7 +165,7 @@ class EfficientTrackTrainer:
                 cfg.OPTIMIZER, float(cfg.MAX_LEARNING_RATE)
             )
             plateau = optim.PlateauScheduler(float(cfg.MAX_LEARNING_RATE))
-        train_step, eval_step = self._build_steps(self.tx)
+        train_step, eval_step = self._build_steps(self.tx, mesh)
         opt_state = self.tx.init(self.params)
         if resume_from is not None:
             # full-state resume (params + optimizer + epoch) — new
@@ -180,10 +200,10 @@ class EfficientTrackTrainer:
                     targets[1].transpose(0, 2, 3, 1),
                 )
                 step += 1
-                gt = np.asarray(keypoints).reshape(
-                    len(imgs), -1, 3
+                gt = local_np(keypoints).reshape(
+                    -1, self.model.output_channels, 3
                 )[:, :, :2]
-                acc = calculate_accuracy(np.asarray(hm2), gt)
+                acc = calculate_accuracy(local_np(hm2), gt)
                 self.lossMeter.update(float(loss))
                 if acc != -1:
                     self.accuracyMeter.update(acc)
@@ -232,9 +252,9 @@ class EfficientTrackTrainer:
                         targets[0].transpose(0, 2, 3, 1),
                         targets[1].transpose(0, 2, 3, 1),
                     )
-                    gt = np.asarray(keypoints).reshape(
-                        len(imgs), -1, 3)[:, :, :2]
-                    acc = calculate_accuracy(np.asarray(hm2), gt)
+                    gt = local_np(keypoints).reshape(
+                        -1, self.model.output_channels, 3)[:, :, :2]
+                    acc = calculate_accuracy(local_np(hm2), gt)
                     self.lossMeter.update(float(loss))
                     if acc != -1:
                         self.accuracyMeter.update(acc)

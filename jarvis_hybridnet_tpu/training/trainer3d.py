@@ -79,13 +79,33 @@ class HybridNetTrainer:
         (reference: hybridnet.py:367-388)."""
         self.training_mode = mode
 
-    def _build_steps(self, tx):
+    def _build_steps(self, tx, mesh=None):
         """Fresh jitted step closures per train() call (a static-self
         method jit would cache the first optimizer/freeze-label trace
-        across set_training_mode + retrain)."""
-        model = self.model
+        across set_training_mode + retrain).
 
-        @jax.jit
+        With ``mesh`` (multi-chip: parallel/mesh.auto_data_mesh) the steps
+        are jitted with 'data' shardings on every batch leaf — params and
+        optimizer state replicated, gradient all-reduce inserted by GSPMD
+        over ICI."""
+        model = self.model
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            train_jit = lambda f: jax.jit(  # noqa: E731
+                f,
+                in_shardings=(repl, repl, repl, repl, data),
+                out_shardings=(repl, repl, repl, data),
+            )
+            eval_jit = lambda f: jax.jit(  # noqa: E731
+                f, in_shardings=(repl, data), out_shardings=(repl, data)
+            )
+        else:
+            train_jit = eval_jit = jax.jit
+
+        @train_jit
         def train_step(params, opt_state, lr_scale, rng, batch):
             def loss_fn(p):
                 hm_final, _, points3d, _ = model.apply(
@@ -105,7 +125,7 @@ class HybridNetTrainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, pts
 
-        @jax.jit
+        @eval_jit
         def eval_step(params, batch):
             hm_final, _, points3d, _ = model.apply(
                 {"params": params},
@@ -123,12 +143,12 @@ class HybridNetTrainer:
               resume_from=None) -> dict:
         cfg = self.cfg.HYBRIDNET
         workers = int(self.cfg.get("DATALOADER_NUM_WORKERS", 4))
-        train_loader = DataLoader(
-            training_set, batch_size=int(cfg.BATCH_SIZE), shuffle=True,
-            num_workers=workers)
-        val_loader = DataLoader(
-            validation_set, batch_size=int(cfg.BATCH_SIZE), shuffle=False,
-            num_workers=workers)
+        from ..parallel.mesh import auto_data_mesh
+        from ..parallel.multihost import local_np, make_dp_loaders
+
+        mesh = auto_data_mesh(int(cfg.BATCH_SIZE))
+        train_loader, val_loader = make_dp_loaders(
+            training_set, validation_set, int(cfg.BATCH_SIZE), workers, mesh)
         steps_per_epoch = len(train_loader)
         use_onecycle = bool(cfg.USE_ONECYLCLE)
         labels = optim.hybridnet_freeze_labels(
@@ -142,7 +162,7 @@ class HybridNetTrainer:
             self.tx = optim.make_optimizer(
                 cfg.OPTIMIZER, float(cfg.MAX_LEARNING_RATE), labels)
             plateau = optim.PlateauScheduler(float(cfg.MAX_LEARNING_RATE))
-        train_step, eval_step = self._build_steps(self.tx)
+        train_step, eval_step = self._build_steps(self.tx, mesh)
         opt_state = self.tx.init(self.params)
         if resume_from is not None:
             self.params, opt_state, start_epoch = \
@@ -183,7 +203,7 @@ class HybridNetTrainer:
                     self.params, opt_state, lr_scale, sub, to_batch(b))
                 step += 1
                 acc = calculate_accuracy_mm(
-                    np.asarray(pts), np.asarray(b["keypoints3D"]))
+                    local_np(pts), local_np(b["keypoints3D"]))
                 self.lossMeter.update(float(loss))
                 if acc != -1:
                     self.accuracyMeter.update(acc)
@@ -223,7 +243,7 @@ class HybridNetTrainer:
                 for b in val_loader:
                     loss, pts = eval_step(self.params, to_batch(b))
                     acc = calculate_accuracy_mm(
-                        np.asarray(pts), np.asarray(b["keypoints3D"]))
+                        local_np(pts), local_np(b["keypoints3D"]))
                     self.lossMeter.update(float(loss))
                     if acc != -1:
                         self.accuracyMeter.update(acc)

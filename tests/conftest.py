@@ -52,3 +52,37 @@ def example_dataset(reference_dir):
     if not d.is_dir():
         pytest.skip("Example_Dataset not available")
     return d
+
+
+@pytest.fixture(scope="session")
+def golden_cache():
+    """Disk memo for reference (torch) oracle outputs.
+
+    The reference tree is read-only and its pretrained weights fixed, so
+    reference activations for a fixed input are immutable — the expensive
+    torch forward passes of the golden tests can be computed once and
+    replayed from disk on every subsequent suite run (the single-CPU
+    environment makes these the dominant share of golden-test wall time).
+    Delete ``tests/.golden_cache`` to force recomputation from the live
+    reference; keys are versioned, so changing a test's inputs must bump
+    its key.
+    """
+    import pickle
+
+    d = pathlib.Path(__file__).parent / ".golden_cache"
+    d.mkdir(exist_ok=True)
+
+    def memo(key: str, compute):
+        safe = "".join(c if c.isalnum() or c in "-_" else "_" for c in key)
+        f = d / f"{safe}.pkl"
+        if f.is_file():
+            with open(f, "rb") as fh:
+                return pickle.load(fh)
+        val = compute()
+        tmp = f.with_suffix(".tmp")
+        with open(tmp, "wb") as fh:
+            pickle.dump(val, fh)
+        tmp.replace(f)
+        return val
+
+    return memo

@@ -54,10 +54,9 @@ def _make_cfg():
     return cfg
 
 
-def test_repro_layer_matches_reference(cpu_torch, rig, reference_dir):
+def test_repro_layer_matches_reference(cpu_torch, rig, reference_dir,
+                                       golden_cache):
     sys.path.insert(0, str(reference_dir))
-    from jarvis.hybridnet.repro_layer import ReprojectionLayer as TorchRepro
-
     from jarvis_hybridnet_tpu.models.repro import reprojection_layer
 
     cfg = _make_cfg()
@@ -81,16 +80,21 @@ def test_repro_layer_matches_reference(cpu_torch, rig, reference_dir):
     centers[:, 1] = centers[:, 1].clip(128, 1024 - 128)
     center_hm = centers[None]
 
-    layer = TorchRepro(cfg)
-    with torch.no_grad():
-        t_out = layer(
-            torch.from_numpy(heatmaps),
-            torch.from_numpy(center3d.astype(np.float32)),
-            torch.from_numpy(center_hm),
-            torch.from_numpy(rig.camera_matrices[None]),
-            torch.from_numpy(rig.intrinsics[None]),
-            torch.from_numpy(rig.distortions[None]),
-        ).numpy()
+    def torch_oracle():
+        from jarvis.hybridnet.repro_layer import ReprojectionLayer as TorchRepro
+
+        layer = TorchRepro(cfg)
+        with torch.no_grad():
+            return layer(
+                torch.from_numpy(heatmaps),
+                torch.from_numpy(center3d.astype(np.float32)),
+                torch.from_numpy(center_hm),
+                torch.from_numpy(rig.camera_matrices[None]),
+                torch.from_numpy(rig.intrinsics[None]),
+                torch.from_numpy(rig.distortions[None]),
+            ).numpy()
+
+    t_out = golden_cache("repro_layer_12cam_seed0_v1", torch_oracle)
 
     j_out = np.asarray(
         reprojection_layer(
@@ -115,10 +119,8 @@ def test_repro_layer_matches_reference(cpu_torch, rig, reference_dir):
     assert np.median(diff) < 1e-4
 
 
-def test_v2v_matches_reference(reference_dir):
+def test_v2v_matches_reference(reference_dir, golden_cache):
     sys.path.insert(0, str(reference_dir))
-    from jarvis.hybridnet.v2vnet import V2VNet as TorchV2V
-
     from jarvis_hybridnet_tpu.models.v2v import V2VNet
     from jarvis_hybridnet_tpu.models.weights_io import (
         v2v_params_from_torch,
@@ -126,16 +128,22 @@ def test_v2v_matches_reference(reference_dir):
     )
 
     J, G = 5, 32
-    tmodel = TorchV2V(J, J)
-    tmodel.eval()
-    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
-    params = v2v_params_from_torch(sd)
-
     rng = np.random.default_rng(1)
     vol = rng.random((1, J, G, G, G), dtype=np.float32)
 
-    with torch.no_grad():
-        t_out = tmodel(torch.from_numpy(vol)).numpy()  # (1, J, G/2, ...)
+    def torch_oracle():
+        from jarvis.hybridnet.v2vnet import V2VNet as TorchV2V
+
+        torch.manual_seed(0)
+        tmodel = TorchV2V(J, J)
+        tmodel.eval()
+        sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+        with torch.no_grad():
+            out = tmodel(torch.from_numpy(vol)).numpy()  # (1, J, G/2, ...)
+        return sd, out
+
+    sd, t_out = golden_cache("v2v_seed0_v1", torch_oracle)
+    params = v2v_params_from_torch(sd)
 
     model = V2VNet(J)
     j_out = model.apply(
@@ -147,16 +155,23 @@ def test_v2v_matches_reference(reference_dir):
     err = np.abs(t_out - j_out).max()
     assert err < 5e-5, err
 
-    # round-trip export loads strict
+    # round-trip export loads strict (fresh torch module; construction is
+    # cheap — only the cached forward pass is expensive)
+    from jarvis.hybridnet.v2vnet import V2VNet as TorchV2V
+
+    tmodel = TorchV2V(J, J)
     sd_back = v2v_params_to_torch(params)
     tensors = {k: torch.from_numpy(np.ascontiguousarray(v))
                for k, v in sd_back.items()}
     missing, unexpected = tmodel.load_state_dict(tensors, strict=False)
     assert not missing and not unexpected, (missing, unexpected)
+    np.testing.assert_allclose(
+        tmodel.state_dict()["output_layer.weight"].numpy(),
+        sd["output_layer.weight"], rtol=0, atol=0)
 
 
 def test_full_hybridnet_matches_reference(cpu_torch, rig, reference_dir,
-                                          monkeypatch):
+                                          monkeypatch, golden_cache):
     """End-to-end: crops -> 2D net -> repro -> V2V -> soft-argmax."""
     sys.path.insert(0, str(reference_dir))
     # Stub imgaug (unavailable) which the reference model module imports
@@ -171,8 +186,6 @@ def test_full_hybridnet_matches_reference(cpu_torch, rig, reference_dir,
         raising=False,
     )
 
-    from jarvis.hybridnet.model import HybridNetBackbone as TorchHybrid
-
     from jarvis_hybridnet_tpu.models.hybridnet import HybridNetBackbone
     from jarvis_hybridnet_tpu.models.weights_io import (
         hybridnet_params_from_torch,
@@ -182,10 +195,6 @@ def test_full_hybridnet_matches_reference(cpu_torch, rig, reference_dir,
     cfg.KEYPOINTDETECT.MODEL_SIZE = "small"
     cfg.DATASET.DATASET_ROOT_DIR = "datasets"
     C, J, S, G = 12, 5, 256, 32
-
-    tmodel = TorchHybrid(cfg)
-    tmodel.eval()
-    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
 
     rng = np.random.default_rng(3)
     imgs = rng.standard_normal((1, C, 3, S, S), dtype=np.float32)
@@ -200,18 +209,29 @@ def test_full_hybridnet_matches_reference(cpu_torch, rig, reference_dir,
     centers[:, 0] = centers[:, 0].clip(128, 1280 - 128)
     centers[:, 1] = centers[:, 1].clip(128, 1024 - 128)
     center_hm = centers[None]
-    img_size = torch.tensor([1280, 1024])
 
-    with torch.no_grad():
-        t_hm, t_pad, t_pts, t_conf = tmodel(
-            torch.from_numpy(imgs),
-            img_size,
-            torch.from_numpy(center_hm),
-            torch.from_numpy(center3d),
-            torch.from_numpy(rig.camera_matrices[None]),
-            torch.from_numpy(rig.intrinsics[None]),
-            torch.from_numpy(rig.distortions[None]),
-        )
+    def torch_oracle():
+        from jarvis.hybridnet.model import HybridNetBackbone as TorchHybrid
+
+        torch.manual_seed(0)
+        tmodel = TorchHybrid(cfg)
+        tmodel.eval()
+        sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+        img_size = torch.tensor([1280, 1024])
+        with torch.no_grad():
+            hm, _pad, pts, conf = tmodel(
+                torch.from_numpy(imgs),
+                img_size,
+                torch.from_numpy(center_hm),
+                torch.from_numpy(center3d),
+                torch.from_numpy(rig.camera_matrices[None]),
+                torch.from_numpy(rig.intrinsics[None]),
+                torch.from_numpy(rig.distortions[None]),
+            )
+        return sd, hm.numpy(), pts.numpy(), conf.numpy()
+
+    sd, t_hm, t_pts, t_conf = golden_cache(
+        "full_hybridnet_seed0_v1", torch_oracle)
 
     model = HybridNetBackbone(
         num_joints=J, model_size="small", roi_cube_size=64, grid_spacing=2
@@ -227,17 +247,15 @@ def test_full_hybridnet_matches_reference(cpu_torch, rig, reference_dir,
         rig.distortions[None],
     )
 
-    t_pts = t_pts.numpy()
     j_pts = np.asarray(j_pts)
     assert t_pts.shape == j_pts.shape == (1, J, 3)
     # <2 mm fidelity target; random weights give diffuse volumes, which is
     # the hardest case for soft-argmax agreement.
     assert np.abs(t_pts - j_pts).max() < 0.5, (t_pts, j_pts)
-    assert np.abs(t_conf.numpy() - np.asarray(j_conf)).max() < 1e-3
+    assert np.abs(t_conf - np.asarray(j_conf)).max() < 1e-3
     # volumes agree (double-Softplus output)
-    t_vol = t_hm.numpy()  # (1, J, g, g, g)
     j_vol = np.asarray(j_hm).transpose(0, 4, 1, 2, 3)
-    assert np.abs(t_vol - j_vol).max() < 1e-2
+    assert np.abs(t_hm - j_vol).max() < 1e-2
 
 
 def test_hybridnet_loss_matches_reference(reference_dir):
