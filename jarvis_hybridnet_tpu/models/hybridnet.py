@@ -88,7 +88,8 @@ class HybridNetBackbone(nn.Module):
         vol = (voxels / 255.0).astype(self.dtype)
         out = V2VNet(
             self.num_joints, dtype=self.dtype,
-            fused_upsample_front=(self.repro_mode == "half_fused"),
+            fused_upsample_front=self.repro_mode in (
+                "half_fused", "quarter_fused"),
             name="v2vNet",
         )(vol, deterministic=deterministic)
         out = jax.nn.softplus(out.astype(jnp.float32))  # (B, g, g, g, J)

@@ -75,6 +75,22 @@ def upsample_trilinear(x: jnp.ndarray, out: int) -> jnp.ndarray:
     return x
 
 
+def _upsample2_aligned_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Center-aligned 2x linear upsample: ``out[2k] = in[k]``,
+    ``out[2k+1] = (in[k] + in[k+1]) / 2`` (top edge clamped).
+
+    Used for the quarter->half grid interpolation, where the coarse
+    centers coincide exactly with the even fine centers
+    (``(2k - G/2)*s = (k - G/4)*2s``) — unlike the half->full upsample,
+    whose half-pixel convention needs the 0.25/0.75 stencil above.
+    """
+    x = jnp.moveaxis(x, axis, 0)
+    nxt = jnp.concatenate([x[1:], x[-1:]], axis=0)  # in[k+1] (edge clamp)
+    odd = 0.5 * (x + nxt)
+    out = jnp.stack([x, odd], axis=1).reshape(-1, *x.shape[1:])
+    return jnp.moveaxis(out, 0, axis)
+
+
 def reproject_indices(
     center3d: jnp.ndarray,  # (3,) cube center (mm, already grid-snapped ints)
     center_hm: jnp.ndarray,  # (C, 2) crop centers in full-res pixels
@@ -228,6 +244,14 @@ def reprojection_layer(
     layer applies the exact upsample+stride-2-conv composition
     (ops/fused_upfront.py) — same numerics as 'half', no 72^3 buffers.
 
+    ``mode='quarter_fused'`` goes one step further: gather at the (G/4)^3
+    quarter grid (64x fewer scattered reads than 'exact', 8x fewer than
+    'half') and linearly interpolate the values up to the half grid before
+    the fused V2V front. The heatmaps are smooth Gaussians (sigma ~3 px at
+    the sampled resolution), so quarter-grid sampling (~2-4 px steps)
+    still resolves them; deviation vs 'exact' is checked on-chip by
+    ``bench.py --fidelity``.
+
     ``gather_dtype`` (half modes only): cast the heatmaps to this dtype
     before the gather. The gather is HBM-random-read bound at ~10 GB/s
     effective, so bfloat16 rows (46 B vs 92 B for J=23) halve both the
@@ -248,15 +272,38 @@ def reprojection_layer(
         out = gather_voxel_volume(heatmaps, idx)  # (B, G^3, J)
         return out.reshape(-1, G, G, G, out.shape[-1])
 
-    assert mode in ("half", "half_fused"), mode
+    assert mode in ("half", "half_fused", "quarter_fused"), mode
     g2 = G // 2
+    if gather_dtype is not None:
+        heatmaps = heatmaps.astype(gather_dtype)
+
+    if mode == "quarter_fused":
+        # Gather at the (G/4)^3 quarter grid — 8x fewer scattered reads
+        # than 'half' — and interpolate the *values* up to the half grid
+        # with the center-aligned stencil (quarter centers coincide with
+        # even half centers). Passing (grid_size/2, 2*spacing) to
+        # reproject_indices yields exactly the quarter grid:
+        # r = (i - G/8)*(4*spacing).
+        g4 = G // 4
+        idx = jax.vmap(
+            lambda c3d, chm, P, K, D: reproject_indices(
+                c3d, chm, P, K, D, grid_size // 2, grid_spacing * 2.0, hs,
+                upsample=False,
+            )
+        )(center3d, center_hm, camera_matrices, intrinsics, distortions)
+        quarter = gather_voxel_volume(heatmaps, idx)  # (B, g4^3, J)
+        J = quarter.shape[-1]
+        quarter = quarter.reshape(-1, g4, g4, g4, J)
+        half = _upsample2_aligned_axis(quarter, 1)
+        half = _upsample2_aligned_axis(half, 2)
+        half = _upsample2_aligned_axis(half, 3)
+        return half  # V2V's fused front layer consumes the half grid
+
     idx = jax.vmap(
         lambda c3d, chm, P, K, D: reproject_indices(
             c3d, chm, P, K, D, grid_size, grid_spacing, hs, upsample=False
         )
     )(center3d, center_hm, camera_matrices, intrinsics, distortions)
-    if gather_dtype is not None:
-        heatmaps = heatmaps.astype(gather_dtype)
     half = gather_voxel_volume(heatmaps, idx)  # (B, g2^3, J)
     J = half.shape[-1]
     half = half.reshape(-1, g2, g2, g2, J)

@@ -197,3 +197,29 @@ def test_half_repro_mode_accuracy(cfg):
 
     shift = np.linalg.norm(decode(vol_exact) - decode(vol_half), axis=-1)
     assert shift.max() < 0.5, shift
+
+    # 'quarter_fused' (64x fewer gathers than exact) must stay inside the
+    # 2 mm budget on the same decode; its even half-grid sites coincide
+    # with the quarter-grid gathers by construction.
+    vol_quarter = np.asarray(
+        reprojection_layer(*args, mode="quarter_fused"))[0]
+    g2 = G // 2
+    assert vol_quarter.shape == (g2, g2, g2, J)
+    vol_half_native = np.asarray(
+        reprojection_layer(*args, mode="half_fused"))[0]
+    np.testing.assert_array_equal(
+        vol_quarter[::2, ::2, ::2], vol_half_native[::2, ::2, ::2]
+    )
+
+    def decode_half(vol):
+        v = np.maximum(vol, 0) + 1e-6
+        coords = np.arange(g2)
+        norm = v.sum(axis=(0, 1, 2))
+        x = np.einsum("xyzj,x->j", v, coords) / norm
+        y = np.einsum("xyzj,y->j", v, coords) / norm
+        z = np.einsum("xyzj,z->j", v, coords) / norm
+        return np.stack([x, y, z], -1) * spacing * 2.0  # mm
+
+    qshift = np.linalg.norm(
+        decode_half(vol_quarter) - decode_half(vol_half_native), axis=-1)
+    assert qshift.max() < 2.0, qshift
