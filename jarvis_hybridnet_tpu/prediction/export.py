@@ -34,8 +34,14 @@ def load_predictor(path: str):
 
 
 def artifact_path(cfg, kind: str, shape) -> str:
-    """Canonical artifact location: one file per (pipeline, input shape)."""
-    stem = f'{kind}_{"x".join(str(s) for s in shape)}.jaxexp'
+    """Canonical artifact location: one file per (pipeline, input shape,
+    numerics config) — repro mode and compute dtype are part of the key so
+    changing them can never silently reload an artifact with different
+    numerics (the TRT analog of rebuilding engines on precision change)."""
+    tpu = cfg.get("TPU", {})
+    tag = (f'{tpu.get("REPRO_MODE", "exact")}-'
+           f'{tpu.get("INFERENCE_DTYPE", "bfloat16")}')
+    stem = f'{kind}_{"x".join(str(s) for s in shape)}_{tag}.jaxexp'
     return os.path.join(
         cfg.PARENT_DIR, "projects", str(cfg.PROJECT_NAME),
         "compiled-models", stem,

@@ -29,6 +29,10 @@ def project_dir(tmp_path_factory, reference_dir):
         str(reference_dir / "projects" / "Example_Project" / "config.yaml"),
         str(proj / "config.yaml"),
     )
+    # small frame batch: the 4-frame test videos don't need the production
+    # T=8 pipelining, and the T=2 cascade compiles several times faster
+    with open(proj / "config.yaml", "a") as f:
+        f.write("\nTPU:\n  FRAME_BATCH: 2\n")
     return root
 
 

@@ -165,6 +165,10 @@ def test_trainer3d_freeze_modes(project):
 
     cfg = project.get_cfg()
     cfg.HYBRIDNET.BATCH_SIZE = 1
+    # the test checks freeze semantics, not accuracy: a coarser grid and
+    # smaller crops compile several times faster on the 1-CPU CI box
+    cfg.HYBRIDNET.GRID_SPACING = 4
+    cfg.KEYPOINTDETECT.BOUNDING_BOX_SIZE = 128
 
     train_set = Dataset3D(cfg, set="val")
     train_set.frameset_keys = train_set.frameset_keys[:1]

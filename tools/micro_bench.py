@@ -1,0 +1,117 @@
+"""Micro-benchmarks on the live TPU for targeted perf experiments.
+
+Current experiments:
+  * v2v-pad: V2VNet at J=23 (channels 46/92, MXU-lane padded by hardware)
+    vs zero-padded J=32 (64/128) — does explicit channel padding beat the
+    hardware's implicit lane padding?
+  * center-split: resize+normalize vs the full CenterDetect net on the
+    96-frame batch — attributes the 11 ms center stage.
+
+Usage: python tools/micro_bench.py [v2v-pad|center-split]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def _sync(x):
+    return float(np.asarray(x).ravel()[0])
+
+
+def _time(fn, a, b, iters=20):
+    _sync(fn(a))
+    _sync(fn(b))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = fn(a if i % 2 == 0 else b)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters * 1000.0
+
+
+def v2v_pad():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from jarvis_hybridnet_tpu.models.v2v import V2VNet
+
+    B, g = 8, 36
+    rng = np.random.default_rng(0)
+    vol23 = rng.random((B, g, g, g, 23), np.float32).astype(jnp.bfloat16)
+    vol23b = np.roll(np.asarray(vol23, np.float32), 1, axis=1).astype(
+        jnp.bfloat16)
+
+    for J in (23, 24, 32):
+        model = V2VNet(J, dtype=jnp.bfloat16, fused_upsample_front=True)
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, g, g, g, J), jnp.bfloat16))["params"]
+
+        pad = J - 23
+
+        @jax.jit
+        def run(x, params=params, pad=pad, model=model):
+            if pad:
+                x = jnp.pad(x, ((0, 0),) * 4 + ((0, pad),))
+            out = model.apply({"params": params}, x)
+            return jnp.sum(out[..., :23].astype(jnp.float32))
+
+        a = jax.device_put(vol23)
+        b = jax.device_put(vol23b)
+        print(f"V2V channels J={J}: {_time(run, a, b):.2f} ms/batch")
+
+
+def center_split():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from jarvis_hybridnet_tpu.models.efficienttrack import (
+        EfficientTrackBackbone,
+    )
+    from jarvis_hybridnet_tpu.ops.image import (
+        normalize_imagenet,
+        resize_bilinear,
+    )
+
+    N, H, W, S = 96, 1024, 1280, 256
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (N, H, W, 3), dtype=np.uint8)
+    imgs_b = np.roll(imgs, 1, axis=2)
+    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+
+    model = EfficientTrackBackbone(model_size="small", output_channels=1,
+                                   dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, S, S, 3), jnp.float32))["params"]
+
+    @jax.jit
+    def resize_only(x):
+        r = resize_bilinear(x, S, S) / 255.0
+        return jnp.sum(normalize_imagenet(r, mean, std)[:, ::32, ::32])
+
+    @jax.jit
+    def full(x):
+        r = resize_bilinear(x, S, S) / 255.0
+        inp = normalize_imagenet(r, mean, std).astype(jnp.bfloat16)
+        _, hm = model.apply({"params": params}, inp)
+        return jnp.sum(hm.astype(jnp.float32)[:, ::32, ::32])
+
+    a = jax.device_put(imgs)
+    b = jax.device_put(imgs_b)
+    print(f"resize+normalize only: {_time(resize_only, a, b):.2f} ms")
+    print(f"resize+CenterDetect:   {_time(full, a, b):.2f} ms")
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "v2v-pad"
+    {"v2v-pad": v2v_pad, "center-split": center_split}[which]()
