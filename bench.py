@@ -334,11 +334,144 @@ def main_fidelity():
     assert dev_mm < 2.0, f"perf config deviates {dev_mm:.3f} mm (>2 mm)"
 
 
+def main_train():
+    """HybridNet training throughput on Example_Dataset: host sample-build
+    rate (loader-only), device step rate (device-resident batches), and
+    overlapped end-to-end steps/s. Answers 'is the TPU step or the host
+    the bottleneck' with numbers (stage table on stderr)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import optax
+
+    from jarvis_hybridnet_tpu.config import ProjectManager
+    from jarvis_hybridnet_tpu.dataset.dataset3d import Dataset3D
+    from jarvis_hybridnet_tpu.dataset.loader import DataLoader
+    from jarvis_hybridnet_tpu.models.hybridnet import (
+        HybridNetBackbone,
+        hybridnet_mse_loss,
+    )
+    from jarvis_hybridnet_tpu.prediction.loaders import init_hybridnet_params
+    from jarvis_hybridnet_tpu.training import checkpoints
+
+    pm = ProjectManager(parent_dir="/root/reference")
+    assert pm.load("Example_Project")
+    cfg = pm.get_cfg()
+    B = int(os.environ.get("JARVIS_TRAIN_BENCH_B",
+                           str(cfg.HYBRIDNET.BATCH_SIZE)))
+    workers = int(cfg.get("DATALOADER_NUM_WORKERS", 4))
+
+    ds = Dataset3D(cfg, set="val")
+    loader = DataLoader(ds, batch_size=B, shuffle=False, drop_last=True,
+                        num_workers=workers)
+
+    def to_batch(b):
+        return {
+            "imgs": np.asarray(b["imgs"], np.float32),
+            "center_hm": np.asarray(b["center_hm"]),
+            "center3d": np.asarray(b["center3d"]),
+            "heatmap3d": np.asarray(b["heatmap3d"], np.float32),
+            "camera_matrices": np.asarray(b["camera_matrices"]),
+            "intrinsics": np.asarray(b["intrinsics"]),
+            "distortions": np.asarray(b["distortions"]),
+        }
+
+    # host-only rate
+    import time as _t
+
+    n_host, t0 = 0, _t.perf_counter()
+    first = None
+    for b in loader:
+        if first is None:
+            first = to_batch(b)
+        n_host += B
+        if n_host >= 32:
+            break
+    host_rate = n_host / (_t.perf_counter() - t0)
+
+    # device-only rate (batch resident on device; params from a real
+    # KeypointDetect pretrain so compute is representative)
+    model = HybridNetBackbone(
+        num_joints=int(cfg.KEYPOINTDETECT.NUM_JOINTS),
+        model_size=cfg.KEYPOINTDETECT.MODEL_SIZE,
+        roi_cube_size=int(cfg.HYBRIDNET.ROI_CUBE_SIZE),
+        grid_spacing=int(cfg.HYBRIDNET.GRID_SPACING),
+        repro_mode=str(cfg.TPU.REPRO_MODE),
+    )
+    params = init_hybridnet_params(cfg, seed=3)
+    params["effTrack"] = checkpoints.load_efficienttrack_params(
+        cfg, "KeypointDetect",
+        "/root/reference/pretrained/MonkeyHand/"
+        "EfficientTrack_Keypoints-small.pth",
+        init_params=params["effTrack"])
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, rng, batch):
+        def loss_fn(p):
+            hm, _, _, _ = model.apply(
+                {"params": p}, batch["imgs"], batch["center_hm"],
+                batch["center3d"], batch["camera_matrices"],
+                batch["intrinsics"], batch["distortions"],
+                deterministic=False, rngs={"dropout": rng})
+            gt = batch["heatmap3d"].transpose(0, 2, 3, 4, 1)
+            return hybridnet_mse_loss(hm, gt)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    dev_a = jax.device_put(first)
+    alt = dict(first)
+    alt["imgs"] = np.roll(first["imgs"], 1, axis=3).copy()
+    dev_b = jax.device_put(alt)
+    rng = jax.random.PRNGKey(0)
+    params, opt_state, loss = step(params, opt_state, rng, dev_a)
+    _ = float(loss)
+    iters = 10
+    t0 = _t.perf_counter()
+    for i in range(iters):
+        params, opt_state, loss = step(
+            params, opt_state, rng, dev_a if i % 2 == 0 else dev_b)
+    _ = float(loss)
+    dev_rate = iters * B / (_t.perf_counter() - t0)
+
+    # overlapped end-to-end
+    n, t0 = 0, _t.perf_counter()
+    for b in loader:
+        params, opt_state, loss = step(params, opt_state, rng, to_batch(b))
+        n += B
+        if n >= 32:
+            break
+    _ = float(loss)
+    e2e_rate = n / (_t.perf_counter() - t0)
+
+    print(f"train stage table (samples/s, batch={B}): host-only "
+          f"{host_rate:.2f}, device-only {dev_rate:.2f}, "
+          f"end-to-end {e2e_rate:.2f} "
+          f"({'host' if host_rate < dev_rate else 'device'}-bound)",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "hybridnet train samples/sec (12-cam, end-to-end)",
+        "value": round(e2e_rate, 3),
+        "unit": "samples/s",
+        "host_only": round(host_rate, 2),
+        "device_only": round(dev_rate, 2),
+        "vs_baseline": None,
+    }))
+
+
 if __name__ == "__main__":
     if "--streaming" in sys.argv:
         sys.exit(main_streaming())
     if "--fidelity" in sys.argv:
         sys.exit(main_fidelity())
+    if "--train" in sys.argv:
+        sys.exit(main_train())
     # the tunneled remote compiler occasionally fails transiently; one
     # retry keeps a flaky compile from losing the benchmark record
     try:

@@ -22,7 +22,11 @@ import jax.numpy as jnp
 
 from ..models.efficienttrack import EfficientTrackBackbone
 from ..ops.heatmap import argmax_2d
-from ..ops.image import normalize_imagenet, resize_bilinear
+from ..ops.image import (
+    normalize_imagenet,
+    resize_bilinear,
+    resize_bilinear_mxu,
+)
 
 
 def build_predict2d(
@@ -64,8 +68,16 @@ def build_predict2d(
         scale_x = W / float(center_size)
         scale_y = H / float(center_size)
 
-        resized = resize_bilinear(imgs, center_size, center_size) / value_scale
-        inp = normalize_imagenet(resized, mean, std).astype(dtype)
+        if dtype == jnp.bfloat16:
+            # MXU selection-matmul resize (see predictor3d / ops/image.py)
+            resized = resize_bilinear_mxu(
+                imgs, center_size, center_size, dtype) / value_scale
+            inp = normalize_imagenet(resized, mean.astype(dtype),
+                                     std.astype(dtype))
+        else:
+            resized = resize_bilinear(
+                imgs, center_size, center_size) / value_scale
+            inp = normalize_imagenet(resized, mean, std).astype(dtype)
         _, hm = center_model.apply({"params": center_params}, inp)
         hm = hm.astype(jnp.float32)
         xy, maxval = argmax_2d(hm)  # (T, 1, 2), (T, 1)

@@ -19,7 +19,11 @@ import jax.numpy as jnp
 from ..models.efficienttrack import EfficientTrackBackbone
 from ..models.hybridnet import HybridNetBackbone
 from ..ops.heatmap import argmax_2d
-from ..ops.image import normalize_imagenet, resize_bilinear
+from ..ops.image import (
+    normalize_imagenet,
+    resize_bilinear,
+    resize_bilinear_mxu,
+)
 from ..utils.reprojection import project_points, triangulate
 
 
@@ -76,8 +80,18 @@ def build_predict3d(
 
         # --- CenterDetect over all (T*C) frames as one batch -------------
         flat = imgs.reshape(T * C, H, W, 3)
-        resized = resize_bilinear(flat, center_size, center_size) / value_scale
-        inp = normalize_imagenet(resized, mean, std).astype(dtype)
+        if dtype == jnp.bfloat16:
+            # MXU selection-matmul resize (ops/image.py): ~1.5x faster on
+            # the full-res frames; its bf16 rounding is absorbed by the
+            # bf16 net input this path feeds anyway
+            resized = resize_bilinear_mxu(
+                flat, center_size, center_size, dtype) / value_scale
+            inp = normalize_imagenet(resized, mean.astype(dtype),
+                                     std.astype(dtype))
+        else:
+            resized = resize_bilinear(
+                flat, center_size, center_size) / value_scale
+            inp = normalize_imagenet(resized, mean, std).astype(dtype)
         _, hm = center_model.apply({"params": center_params}, inp)
         hm = hm.astype(jnp.float32)
         xy, maxval = argmax_2d(hm)  # (T*C, 1, 2), (T*C, 1)

@@ -112,6 +112,74 @@ def center_split():
     print(f"resize+CenterDetect:   {_time(full, a, b):.2f} ms")
 
 
+def resize_variants():
+    """W-downsample strategies for 1280->256 (stride 5) after the H blend:
+    (a) strided slice (current), (b) one-hot selection matmul on the MXU,
+    (c) reshape-to-(256,5) + contiguous index."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from jarvis_hybridnet_tpu.ops.image import _strided
+
+    N, H, W, S = 96, 1024, 1280, 256
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (N, H, W, 3), dtype=np.uint8)
+    imgs_b = np.roll(imgs, 1, axis=2)
+
+    onehot = np.zeros((W, S), np.float32)
+    onehot[np.arange(S) * 5 + 2, np.arange(S)] = 1.0
+    onehot_bf = jnp.asarray(onehot, jnp.bfloat16)
+
+    def h_blend(x):
+        a = _strided(x, 1, 1, 4, S).astype(jnp.float32)
+        b = _strided(x, 1, 2, 4, S).astype(jnp.float32)
+        return 0.5 * (a + b)  # (N, S, W, 3) f32
+
+    @jax.jit
+    def v_slice(x):
+        y = h_blend(x)
+        y = _strided(y, 2, 2, 5, S)
+        return jnp.sum(y[:, ::32, ::32])
+
+    @jax.jit
+    def v_matmul(x):
+        y = h_blend(x).astype(jnp.bfloat16)
+        y = jnp.einsum("nhwc,ws->nhsc", y, onehot_bf,
+                       preferred_element_type=jnp.float32)
+        return jnp.sum(y[:, ::32, ::32])
+
+    @jax.jit
+    def v_reshape(x):
+        y = h_blend(x)
+        y = y.reshape(N, S, S, 5, 3)[:, :, :, 2, :]
+        return jnp.sum(y[:, ::32, ::32])
+
+    # both axes on the MXU: uint8 cast fuses into the first matmul's
+    # operand read; intermediates stay bf16
+    hsel = np.zeros((H, S), np.float32)
+    hsel[np.arange(S) * 4 + 1, np.arange(S)] = 0.5
+    hsel[np.arange(S) * 4 + 2, np.arange(S)] += 0.5
+    hsel_bf = jnp.asarray(hsel, jnp.bfloat16)
+
+    @jax.jit
+    def v_bothmm(x):
+        y = jnp.einsum("nhwc,hs->nswc", x.astype(jnp.bfloat16), hsel_bf,
+                       preferred_element_type=jnp.bfloat16)
+        y = jnp.einsum("nhwc,ws->nhsc", y, onehot_bf,
+                       preferred_element_type=jnp.float32)
+        return jnp.sum(y[:, ::32, ::32])
+
+    a = jax.device_put(imgs)
+    b = jax.device_put(imgs_b)
+    for name, fn in (("slice", v_slice), ("matmul", v_matmul),
+                     ("reshape", v_reshape), ("both-matmul", v_bothmm)):
+        print(f"W-downsample {name}: {_time(fn, a, b):.2f} ms")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "v2v-pad"
-    {"v2v-pad": v2v_pad, "center-split": center_split}[which]()
+    {"v2v-pad": v2v_pad, "center-split": center_split,
+     "resize-variants": resize_variants}[which]()
