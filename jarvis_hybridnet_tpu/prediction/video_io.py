@@ -50,6 +50,12 @@ class MultiCameraReader:
     Buffers are recycled when the consumer calls :meth:`recycle`; a consumer
     that never recycles still makes progress (new buffers are allocated up
     to ``max_buffers``) at the cost of extra host memory.
+
+    ``max_buffers`` deliberately stays close to ``prefetch``: once the ring
+    is full the decode threads *block* (zero CPU) until the consumer
+    recycles. A deep ring lets the decoders run far ahead and, on hosts
+    with few cores, starve the consuming thread of CPU — measured on a
+    1-core host as >50x end-to-end slowdown with a 16-buffer ring.
     """
 
     def __init__(
@@ -59,8 +65,19 @@ class MultiCameraReader:
         number_frames: int = -1,
         batch_size: int = 4,
         prefetch: int = 2,
-        max_buffers: int = 16,
+        max_buffers: int | None = None,
+        num_threads: int | None = None,
     ):
+        if max_buffers is None:
+            max_buffers = prefetch + 2
+        if num_threads is None:
+            # one thread per camera when cores allow (the reference's
+            # 12-thread model); on small hosts, partition cameras across
+            # cpu_count-1 workers so the decoders cannot starve the
+            # consuming thread of CPU (measured 24x end-to-end slowdown
+            # with 12 always-runnable decode threads on a 1-core host)
+            num_threads = max(1, min(len(video_paths),
+                                     (os.cpu_count() or 2) - 1))
         assert cv2 is not None, "OpenCV is required for video decoding"
         self.caps = []
         img_size = None
@@ -104,10 +121,11 @@ class MultiCameraReader:
         self._stopped = False
         self._queue: queue.Queue = queue.Queue()
 
+        K = max(1, min(num_threads, C))
         self._threads = [
-            threading.Thread(target=self._decode_camera, args=(c,),
-                             daemon=True)
-            for c in range(C)
+            threading.Thread(target=self._decode_cameras,
+                             args=(list(range(w, C, K)),), daemon=True)
+            for w in range(K)
         ]
         self._emitter = threading.Thread(target=self._emit, daemon=True)
         for t in self._threads:
@@ -132,22 +150,34 @@ class MultiCameraReader:
                     self._lock.wait()
             return self._assigned[b]
 
-    def _decode_camera(self, c: int):
+    def _decode_cameras(self, cams: list[int]):
+        """Decode a worker's cameras, interleaved frame-by-frame so every
+        camera in the group advances in lockstep (each camera's stream is
+        still read strictly sequentially)."""
         T = self.batch_size
-        cap = self.caps[c]
+        live = list(cams)
         for f in range(self.number_frames):
+            if not live:
+                break
             buf = self._buffer_for(f // T)
             if buf is None:
                 break
-            ret, img = cap.read()
-            if not ret:
-                break
-            cv2.cvtColor(img, cv2.COLOR_BGR2RGB, dst=buf[f % T, c])
+            for c in list(live):
+                ret, img = self.caps[c].read()
+                if not ret:
+                    live.remove(c)
+                    with self._lock:
+                        self._progress[c] = -self._progress[c] - 1  # done
+                        self._lock.notify_all()
+                    continue
+                cv2.cvtColor(img, cv2.COLOR_BGR2RGB, dst=buf[f % T, c])
             with self._lock:
-                self._progress[c] = f + 1
+                for c in live:
+                    self._progress[c] = f + 1
                 self._lock.notify_all()
         with self._lock:
-            self._progress[c] = -self._progress[c] - 1  # mark camera done
+            for c in live:
+                self._progress[c] = -self._progress[c] - 1  # mark done
             self._lock.notify_all()
 
     @staticmethod
