@@ -179,7 +179,47 @@ def resize_variants():
         print(f"W-downsample {name}: {_time(fn, a, b):.2f} ms")
 
 
+def gather_dtype():
+    """Voxel-gather row dtype: is the quarter-grid gather still byte-bound
+    (uint8 rows would help) or descriptor-bound (they would not)?
+    Mirrors gather_voxel_volume's layout at the production shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    B, C, J, hs, g4 = 8, 12, 23, 130, 18
+    N = g4 ** 3
+    rng = np.random.default_rng(0)
+    rows = rng.random((C, B * hs * hs, J), np.float32) * 255.0
+    idx = rng.integers(0, B * hs * hs, (C, B * N)).astype(np.int32)
+    idx_b = rng.integers(0, B * hs * hs, (C, B * N)).astype(np.int32)
+
+    for dt in (jnp.float32, jnp.bfloat16, jnp.uint8):
+        table = jax.device_put(
+            np.clip(rows, 0, 255).astype(dt) if dt == jnp.uint8
+            else rows.astype(dt))
+
+        @jax.jit
+        def run(ix, table=table):
+            acc = None
+            for c in range(C):
+                ic = ix[c]
+                if acc is not None:
+                    ic = ic + (acc[0, 0] * 0.0).astype(jnp.int32)
+                vals = jnp.take(table[c], ic, axis=0).astype(jnp.float32)
+                acc = vals if acc is None else acc + vals
+            return jnp.sum(acc[::997])
+
+        a = jax.device_put(idx)
+        b = jax.device_put(idx_b)
+        print(f"gather rows {np.dtype(dt).name}: {_time(run, a, b):.2f} "
+              f"ms ({C * B * N / 1e6:.2f}M rows)")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "v2v-pad"
     {"v2v-pad": v2v_pad, "center-split": center_split,
-     "resize-variants": resize_variants}[which]()
+     "resize-variants": resize_variants, "gather-dtype": gather_dtype,
+     }[which]()
