@@ -85,16 +85,29 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_checked(item) -> bool:
+            """Bounded put that gives up once the consumer is gone."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    pass
+            return False
+
         if self.num_workers == 0:
             def produce_serial():
                 try:
                     for idxs in batches:
                         if stop.is_set():
                             break
-                        q.put(_collate([self.dataset[int(i)] for i in idxs]))
-                    q.put(None)
+                        if not put_checked(
+                            _collate([self.dataset[int(i)] for i in idxs])
+                        ):
+                            return
+                    put_checked(None)
                 except BaseException as e:  # propagate to the consumer
-                    q.put(_ProducerError(e))
+                    put_checked(_ProducerError(e))
 
             thread = threading.Thread(target=produce_serial, daemon=True)
         else:
@@ -114,14 +127,7 @@ class DataLoader:
                     ])
                     return True
 
-                def put(item) -> bool:
-                    while not stop.is_set():
-                        try:
-                            q.put(item, timeout=0.2)
-                            return True
-                        except queue.Full:
-                            pass
-                    return False
+                put = put_checked
 
                 try:
                     # keep prefetch+1 batches worth of samples in flight

@@ -61,18 +61,6 @@ def _resize_axis(x: jnp.ndarray, axis: int, out_size: int) -> jnp.ndarray:
     return a * (1.0 - w) + b * w
 
 
-def _int_taps(in_size: int, out_size: int):
-    """Half-pixel taps for an integer downscale ratio: [(start, weight)].
-
-    src = r*i + (r-1)/2: odd ratios sample one element, even ratios blend
-    the two central elements with weight 1/2.
-    """
-    r = in_size // out_size
-    if r % 2 == 1:
-        return [((r - 1) // 2, 1.0)]
-    return [(r // 2 - 1, 0.5), (r // 2, 0.5)]
-
-
 def resize_bilinear(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     """Resize (..., H, W, C) to (..., height, width, C), no antialias.
 
@@ -87,16 +75,10 @@ def resize_bilinear(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     Alternatives measured slower: W-first (13.8 ms vs 6.0), all-slices-
     first on uint8 (11.0 ms — the W slice runs once per H tap).
 
-    ``mxu_dtype`` (optional, integer-ratio inputs only): perform both
-    axis reductions as selection-matrix matmuls in that dtype on the MXU
-    — the uint8 cast fuses into the first matmul's operand read and no
-    full-width float intermediate is ever materialized. bf16 blending
-    rounds half-integer blend results (ulp(255) = 1), so this path is
-    only for pipelines whose next consumer is bf16 anyway; pass None
-    (default) for exact float32 resampling.
+    For bf16 pipelines with integer downscale ratios, see
+    ``resize_bilinear_mxu``.
     """
     h_axis, w_axis = x.ndim - 3, x.ndim - 2
-    H, W = x.shape[h_axis], x.shape[w_axis]
     return (
         _resize_axis(_resize_axis(x, h_axis, height), w_axis, width)
     )
@@ -119,9 +101,17 @@ def _selection_matrix(in_size: int, out_size: int):
 def resize_bilinear_mxu(
     x: jnp.ndarray, height: int, width: int, dtype=jnp.bfloat16
 ) -> jnp.ndarray:
-    """Integer-ratio resize as two MXU selection matmuls (see
-    ``resize_bilinear``'s note); returns ``dtype``. Falls back to the
-    exact path for non-integer ratios."""
+    """Integer-ratio resize as two MXU selection matmuls; returns ``dtype``.
+
+    Both axis reductions run as selection-matrix matmuls in ``dtype`` on
+    the MXU — the uint8 cast fuses into the first matmul's operand read
+    and no full-width float intermediate is ever materialized (measured
+    4.1 ms vs 6.0 ms for the slice/blend schedule on the 96-frame batch,
+    tools/micro_bench.py). bf16 blending rounds half-integer blend
+    results (ulp(255) = 1), so this path is only for pipelines whose next
+    consumer is bf16 anyway; use ``resize_bilinear`` for exact float32
+    resampling. Falls back to the exact path for non-integer ratios.
+    """
     h_axis, w_axis = x.ndim - 3, x.ndim - 2
     H, W = x.shape[h_axis], x.shape[w_axis]
     if H % height or W % width:

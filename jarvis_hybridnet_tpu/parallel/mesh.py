@@ -64,6 +64,15 @@ def auto_data_mesh(batch_size: int) -> Mesh | None:
     shardings and GSPMD inserts the gradient all-reduce over ICI.
     """
     devices = jax.devices()
-    if len(devices) <= 1 or batch_size % len(devices) != 0:
+    if len(devices) <= 1:
+        return None
+    if batch_size % len(devices) != 0:
+        from ..utils.clp import warning
+        warning(
+            f"{len(devices)} devices are visible but BATCH_SIZE="
+            f"{batch_size} does not divide across them — training will "
+            f"run on a SINGLE device. Set BATCH_SIZE to a multiple of "
+            f"{len(devices)} to enable data-parallel sharding."
+        )
         return None
     return make_mesh(n_data=len(devices))

@@ -35,9 +35,16 @@ def initialize_distributed(
     On Cloud TPU pods all three arguments are auto-detected from the
     metadata server; pass them explicitly for other clusters. A no-op when
     already initialized or when running single-process.
+
+    The idempotency check must NOT touch ``jax.process_count()``: that
+    initializes the XLA backend, after which ``jax.distributed.initialize``
+    always raises and a pod job would silently degrade to N independent
+    single-host runs. ``jax.distributed.is_initialized()`` inspects only
+    the distributed client.
     """
-    if jax.process_count() > 1:
+    if jax.distributed.is_initialized():
         return  # already initialized by the launcher
+    explicit = coordinator_address is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -45,7 +52,11 @@ def initialize_distributed(
             process_id=process_id,
         )
     except (ValueError, RuntimeError):
-        # single-process run (no coordinator configured): nothing to join
+        if explicit:
+            # a coordinator WAS configured: failing to join it is a real
+            # error, not a single-process run
+            raise
+        # no coordinator configured / not a pod environment: single-process
         pass
 
 
@@ -231,6 +242,15 @@ def make_dp_loaders(
             )
         return mk(train_set, True), mk(val_set, False)
     drop = drop_last or mesh is not None
+    if drop and len(val_set) < batch_size:
+        from ..utils.clp import warning
+        warning(
+            f"Validation set ({len(val_set)} samples) is smaller than the "
+            f"batch size ({batch_size}) and tail batches are dropped under "
+            f"a device mesh: the epoch will see ZERO validation batches "
+            f"and val metrics will be empty. Shrink BATCH_SIZE or grow the "
+            f"val split."
+        )
     return (
         DataLoader(train_set, batch_size=batch_size, shuffle=True,
                    drop_last=drop, num_workers=num_workers, seed=seed),
@@ -247,7 +267,16 @@ def local_np(x) -> np.ndarray:
     fully addressable.
     """
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
-        shards = sorted(x.addressable_shards, key=lambda s: s.index[0].start)
+        # Deduplicate by full index tuple: on a multi-axis mesh (e.g.
+        # data x cameras) a P('data') array is replicated across the other
+        # axis, so several local shards can cover the same rows.
+        uniq = {}
+        for s in x.addressable_shards:
+            key = tuple(
+                (sl.start, sl.stop, sl.step) for sl in s.index
+            )
+            uniq.setdefault(key, s)
+        shards = sorted(uniq.values(), key=lambda s: s.index[0].start or 0)
         return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
     return np.asarray(x)
 
