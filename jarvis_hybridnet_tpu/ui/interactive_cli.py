@@ -392,10 +392,81 @@ def _visualize_menu():
             plt.show()
 
 
+def _pick_cameras_subset(cfg):
+    """Optional camera subset for analysis (reference
+    interactive_cli/analyze_cli.py:71-88 lists calib_params/<session>/)."""
+    if _menu("Use only a subset of available cameras?",
+             ["No", "Yes"]) != "Yes":
+        return None
+    dataset_name = cfg.DATASET.DATASET_3D
+    if os.path.isabs(dataset_name):
+        calib_root = os.path.join(dataset_name, "calib_params")
+    else:
+        calib_root = os.path.join(cfg.PARENT_DIR,
+                                  cfg.DATASET.DATASET_ROOT_DIR,
+                                  dataset_name, "calib_params")
+    try:
+        session = sorted(os.listdir(calib_root))[0]
+        names = sorted(os.path.splitext(f)[0] for f in
+                       os.listdir(os.path.join(calib_root, session)))
+    except (OSError, IndexError):
+        clp.warning("Could not list calibration cameras; using all.")
+        return None
+    chosen = []
+    for name in names:
+        if _menu(f"Use camera {name}?", ["Yes", "No"]) != "No":
+            chosen.append(name)
+    return chosen or None
+
+
+def _pick_analysis_run(cfg):
+    """Analysis-run picker over saved validation analyses (reference
+    interactive_cli/analyze_cli.py:97-112)."""
+    base = os.path.join(cfg.PARENT_DIR, cfg.PROJECTS_ROOT_PATH,
+                        cfg.PROJECT_NAME, "analysis")
+    runs = sorted(os.listdir(base))[::-1] if os.path.isdir(base) else []
+    if not runs:
+        clp.error("Please run Analysis on this project first! Aborting...")
+        return None
+    run = _menu("Select analysis set to load:", runs)
+    return os.path.join(base, run) if run else None
+
+
+def _ask_additional_data() -> dict:
+    """Extra prediction CSVs overlaid on the histogram (reference
+    interactive_cli/analyze_cli.py:133-145)."""
+    additional = {}
+    while _menu("Add another '.csv' file containing predictions?",
+                ["No", "Yes"]) == "Yes":
+        data_path = _ask_path("Path to prediction '.csv' file",
+                              suffix=".csv")
+        pred_name = _ask("Name of the predictions for the legend",
+                         os.path.basename(data_path))
+        additional[pred_name] = data_path
+    return additional
+
+
+def _ask_cutoff() -> int:
+    if _menu("Use error cutoff? (values above it are grouped in one bin)",
+             ["No", "Yes"]) != "Yes":
+        return -1
+    return _ask_int("Cutoff value (mm)", 30, lo=1)
+
+
+def _ask_interactive() -> bool:
+    return _menu("Show interactive matplotlib window?",
+                 ["Yes", "No"]) != "No"
+
+
 def _analyze_menu():
     project = _pick_project()
     if project is None:
         return
+    pm = ProjectManager()
+    if not pm.load(project):
+        clp.error(f"Could not load project {project}!")
+        return
+    cfg = pm.get_cfg()
     what = _menu("Analyze:", [
         "analyze-validation-data", "plot-error-histogram",
         "plot-error-per-keypoint", "plot-error-histogram-per-keypoint"])
@@ -404,20 +475,32 @@ def _analyze_menu():
     if what == "analyze-validation-data":
         weights_center = _pick_model_weights("CenterDetect")
         weights_hybridnet = _pick_model_weights("HybridNet")
+        cameras_to_use = _pick_cameras_subset(cfg)
         from ..analysis.analyze import analyze_validation_data
 
         out = analyze_validation_data(
             project, weights_center=weights_center,
-            weights_hybridnet=weights_hybridnet)
+            weights_hybridnet=weights_hybridnet,
+            cameras_to_use=cameras_to_use)
         if out:
             clp.success(f"Analysis written to {out}")
         return
-    from click.testing import CliRunner
 
-    from .cli import cli as click_cli
+    path = _pick_analysis_run(cfg)
+    if path is None:
+        return
+    from ..analysis import plotting
 
-    args = ["analyze", what, "--mode", "interactive"]
-    if "histogram" in what:
-        cutoff = _ask_int("Cutoff (mm, -1 = none)", -1, lo=-1)
-        args += ["--cutoff", str(cutoff)]
-    CliRunner().invoke(click_cli, args + [project], catch_exceptions=False)
+    if what == "plot-error-histogram":
+        additional = _ask_additional_data()
+        cutoff = _ask_cutoff()
+        plotting.plot_error_histogram(
+            path, additional_data=additional, cutoff=cutoff,
+            interactive=_ask_interactive())
+    elif what == "plot-error-per-keypoint":
+        plotting.plot_error_per_keypoint(
+            path, project, interactive=_ask_interactive())
+    else:
+        cutoff = _ask_cutoff()
+        plotting.plot_error_histogram_per_keypoint(
+            path, project, cutoff=cutoff, interactive=_ask_interactive())

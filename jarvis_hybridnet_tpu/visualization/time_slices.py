@@ -11,6 +11,31 @@ import numpy as np
 from .visualize_dataset import set_axes_equal
 
 
+def _pick_view_angle(plt, pose, colors, line_idxs):
+    """Rotatable preview of one pose; returns the (azim, elev) the user
+    left the view at (last mouse release), like the reference's
+    projections list (time_slices.py:55-63,76-77)."""
+    fig = plt.figure()
+    ax = fig.add_subplot(projection="3d")
+    picked = [(ax.azim, ax.elev)]
+
+    def on_release(event):
+        picked.append((ax.azim, ax.elev))
+
+    fig.canvas.mpl_connect("button_release_event", on_release)
+    for i, point in enumerate(pose):
+        ax.scatter(point[0], point[1], point[2],
+                   color=tuple(np.array(colors[i]) / 255.0), s=10)
+    for line in line_idxs:
+        a, b = pose[line[0]], pose[line[1]]
+        ax.plot([a[0], b[0]], [a[1], b[1]], [a[2], b[2]],
+                c=tuple(np.array(colors[line[1]]) / 255.0))
+    set_axes_equal(ax)
+    plt.show()
+    plt.close(fig)
+    return picked[-1]
+
+
 def plot_slices(csv_file, filename, start_frame, num_frames, skip_number,
                 colors=None, line_idxs=None, plot_azim=None, plot_elev=None,
                 interactive=False):
@@ -35,9 +60,18 @@ def plot_slices(csv_file, filename, start_frame, num_frames, skip_number,
 
         cmap = matplotlib.colormaps.get_cmap("jet")
         colors = [np.array(cmap(i / J))[:3] * 255 for i in range(J)]
-        line_idxs = line_idxs or []
+    line_idxs = line_idxs or []
 
-    projection = (plot_azim or 0.0, plot_elev or 0.0)
+    if plot_azim is not None and plot_elev is not None:
+        projection = (float(plot_azim), float(plot_elev))
+    elif interactive:
+        # Interactive view-angle picker (reference time_slices.py:52-77):
+        # show the first frame in a rotatable 3D window and use the last
+        # mouse-release orientation for the whole slice row.
+        projection = _pick_view_angle(plt, data[start_frame], colors,
+                                      line_idxs)
+    else:
+        projection = (plot_azim or 0.0, plot_elev or 0.0)
     fig, axs = plt.subplots(1, num_frames, subplot_kw={"projection": "3d"})
     if num_frames == 1:
         axs = [axs]

@@ -87,6 +87,10 @@ class FakeStreamlit(types.ModuleType):
     def checkbox(self, label, value=False, **k):
         return self._respond("checkbox", label, value)
 
+    def multiselect(self, label, options, default=None, **k):
+        return self._respond("multiselect", label,
+                             list(default) if default is not None else [])
+
     # -- layout -------------------------------------------------------------
     def form(self, name, **k):
         return _Container(self)

@@ -143,3 +143,30 @@ def test_prediction_page_renders(gui_project):
     })
     _main(fake)
     assert any("Predict 3D" in h for h in fake.calls("header"))
+
+
+def test_analysis_page_camera_multiselect(gui_project, monkeypatch):
+    """The analysis page surfaces a camera multiselect (reference
+    analyze_gui.py:45-47) and forwards the chosen subset."""
+    seen = {}
+
+    from jarvis_hybridnet_tpu.analysis import analyze as analyze_mod
+
+    def fake_analyze(project, weights_center="latest",
+                     weights_hybridnet="latest", cameras_to_use=None,
+                     progress_bar=None, **k):
+        seen["cameras"] = cameras_to_use
+        return "/tmp/out"
+
+    monkeypatch.setattr(analyze_mod, "analyze_validation_data",
+                        fake_analyze)
+    fake = fake_streamlit.install({
+        "Menu": "Analysis",
+        "Project": gui_project,
+        "Select cameras to use for analysis": ["Camera_B", "Camera_LBB"],
+        "Analyze validation data": True,
+    })
+    _main(fake)
+    labels = [v for k, v in fake.log if k == "multiselect"]
+    assert any("cameras" in (l or "") for l in labels)
+    assert seen["cameras"] == ["Camera_B", "Camera_LBB"]

@@ -101,3 +101,77 @@ def test_compiled_mode_wizard(monkeypatch, tmp_path):
     # decline acceleration entirely -> 'off'
     _script(monkeypatch, ["2"])
     assert interactive_cli.get_compiled_mode(cfg, "predict3D") == "off"
+
+
+def test_analysis_run_picker(monkeypatch, tmp_path):
+    from jarvis_hybridnet_tpu.config.defaults import get_default_cfg
+
+    cfg = get_default_cfg()
+    cfg.PARENT_DIR = str(tmp_path)
+    cfg.PROJECT_NAME = "P"
+    # no analysis runs yet -> None + error message
+    assert interactive_cli._pick_analysis_run(cfg) is None
+    base = tmp_path / "projects" / "P" / "analysis"
+    (base / "Validation_Predictions_1").mkdir(parents=True)
+    (base / "Validation_Predictions_2").mkdir()
+    _script(monkeypatch, ["1"])
+    # newest run (reverse-sorted) is offered first
+    assert interactive_cli._pick_analysis_run(cfg).endswith(
+        "Validation_Predictions_2")
+
+
+def test_analyze_plot_flflows_native(monkeypatch, tmp_path):
+    """The plot flows drive plotting natively (no CliRunner shell-out)."""
+    (tmp_path / "projects" / "P1").mkdir(parents=True)
+    (tmp_path / "projects" / "P1" / "config.yaml").write_text(
+        "PROJECT_NAME: P1\n")
+    run = tmp_path / "projects" / "P1" / "analysis" / "run_1"
+    run.mkdir(parents=True)
+    monkeypatch.setenv("JARVIS_PARENT_DIR", str(tmp_path))
+
+    seen = {}
+
+    from jarvis_hybridnet_tpu.analysis import plotting
+
+    def fake_hist(path, additional_data={}, cutoff=-1, interactive=True):
+        seen.update(path=path, additional=dict(additional_data),
+                    cutoff=cutoff, interactive=interactive)
+
+    monkeypatch.setattr(plotting, "plot_error_histogram", fake_hist)
+    extra = tmp_path / "other.csv"
+    extra.write_text("x\n")
+    # project 1, flow 2 (histogram), run 1, add a csv ("2"=Yes) with a
+    # name, stop adding, use cutoff 25, non-interactive
+    _script(monkeypatch, ["1", "2", "1", "2", str(extra), "other", "1",
+                          "2", "25", "2"])
+    interactive_cli._analyze_menu()
+    assert seen["path"].endswith("run_1")
+    assert seen["additional"] == {"other": str(extra)}
+    assert seen["cutoff"] == 25
+    assert seen["interactive"] is False
+
+    def fake_per_kp(path, project_name, interactive=True):
+        seen.update(kp_path=path, kp_project=project_name,
+                    kp_interactive=interactive)
+
+    monkeypatch.setattr(plotting, "plot_error_per_keypoint", fake_per_kp)
+    # project 1, flow 3 (per-keypoint), run 1, interactive yes
+    _script(monkeypatch, ["1", "3", "1", "1"])
+    interactive_cli._analyze_menu()
+    assert seen["kp_project"] == "P1" and seen["kp_interactive"] is True
+
+
+def test_analyze_cameras_subset(monkeypatch, tmp_path, reference_dir):
+    from jarvis_hybridnet_tpu.config.defaults import get_default_cfg
+
+    cfg = get_default_cfg()
+    cfg.PARENT_DIR = str(tmp_path)
+    cfg.DATASET.DATASET_3D = str(
+        reference_dir / "datasets" / "Example_Dataset")
+    # decline subsetting -> None
+    _script(monkeypatch, ["1"])
+    assert interactive_cli._pick_cameras_subset(cfg) is None
+    # accept, keep first camera only, drop the rest (12-cam rig)
+    _script(monkeypatch, ["2", "1"] + ["2"] * 11)
+    subset = interactive_cli._pick_cameras_subset(cfg)
+    assert subset is not None and len(subset) == 1
