@@ -21,7 +21,34 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..prediction.predictor2d import build_predict2d
 from ..prediction.predictor3d import build_predict3d
+
+
+def build_sharded_predict2d(
+    cfg,
+    center_params,
+    keypoint_params,
+    mesh: Mesh,
+    dtype=None,
+):
+    """Data-parallel single-camera 2D cascade: imgs (T, H, W, 3) sharded
+    on T over 'data', outputs replicated. Each chip runs its frame shard
+    fully independently (the 2D cascade has no cross-frame coupling), so
+    the only collective is the output all-gather."""
+    import jax.numpy as jnp
+
+    fn = build_predict2d(
+        cfg, center_params, keypoint_params,
+        dtype=dtype or jnp.bfloat16, jit=False,
+    )
+    data_in = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        fn,
+        in_shardings=(data_in,),
+        out_shardings=(repl, repl, repl),
+    )
 
 
 def build_sharded_predict3d(

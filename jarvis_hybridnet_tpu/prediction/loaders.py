@@ -75,7 +75,11 @@ def make_predictor2d(
     weights_center_detect: str = "latest",
     weights_keypoint_detect: str = "latest",
     dtype=None,
+    mesh=None,
 ):
+    """Fused 2D predictor. With ``mesh`` the cascade is jitted with the
+    frame batch sharded over 'data' — multi-chip data-parallel 2D
+    inference (frames are embarrassingly parallel)."""
     center = load_efficienttrack_params(
         cfg, "CenterDetect", weights_center_detect,
         init_params=init_efficienttrack_params(cfg, "CenterDetect",
@@ -86,6 +90,19 @@ def make_predictor2d(
         init_params=init_efficienttrack_params(cfg, "KeypointDetect",
                                                abstract=True),
     )
+    # explicit weights=None -> run from a real random init (the loader
+    # returns None to mean "nothing to load")
+    if center is None:
+        center = init_efficienttrack_params(cfg, "CenterDetect")
+    if keypoint is None:
+        keypoint = init_efficienttrack_params(cfg, "KeypointDetect")
+    if mesh is not None:
+        from ..parallel.predict_step import build_sharded_predict2d
+
+        return build_sharded_predict2d(
+            cfg, center, keypoint, mesh=mesh,
+            dtype=dtype or _dtype_from_cfg(cfg),
+        )
     return build_predict2d(
         cfg, center, keypoint, dtype=dtype or _dtype_from_cfg(cfg)
     )
@@ -112,6 +129,10 @@ def make_predictor3d(
         cfg, weights_hybridnet,
         init_params=init_hybridnet_params(cfg, abstract=True),
     )
+    if center is None:
+        center = init_efficienttrack_params(cfg, "CenterDetect")
+    if hybrid is None:
+        hybrid = init_hybridnet_params(cfg)
     if mesh is not None:
         from ..parallel.predict_step import build_sharded_predict3d
 

@@ -59,6 +59,23 @@ def predict2D(params: Predict2DParams) -> str | None:
     batch = int(cfg.get("TPU", {}).get("FRAME_BATCH", 8))
     num_joints = int(cfg.KEYPOINTDETECT.NUM_JOINTS)
 
+    # multi-chip: frames data-parallel over all devices (mirrors
+    # predict3D's mesh wiring; the 2D cascade has no cross-frame coupling)
+    import jax
+
+    mesh = None
+    in_sharding = None
+    if len(jax.devices()) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+        from ..parallel.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        mesh = make_mesh(n_data=n_dev, n_cameras=1)
+        batch = max(batch, n_dev) // n_dev * n_dev  # divisible by dp
+        in_sharding = NamedSharding(mesh, PSpec("data"))
+        clp.info(f"Sharded 2D inference over {n_dev} devices")
+
     for recording_path in recording_paths:
         csv_name = "data2D.csv"
         if multiple_videos:
@@ -77,13 +94,15 @@ def predict2D(params: Predict2DParams) -> str | None:
             W, H = reader.img_size
             shape = (batch, H, W, 3)
             artifact = aot.artifact_path(cfg, "predict2D", shape)
-            if params.trt_mode == "previous" and os.path.isfile(artifact):
+            if (params.trt_mode == "previous" and os.path.isfile(artifact)
+                    and mesh is None):
                 clp.info(f"Loading exported predictor: {artifact}")
                 predictor = aot.load_predictor(artifact)
             else:
                 predictor = make_predictor2d(
                     cfg, params.weights_center_detect,
                     params.weights_keypoint_detect,
+                    mesh=mesh,
                 )
                 if params.trt_mode == "new":
                     aot.export_predictor(
@@ -101,11 +120,11 @@ def predict2D(params: Predict2DParams) -> str | None:
             bar = tqdm(total=reader.number_frames)
             # one-deep device pipeline: dispatch batch k+1 before fetching
             # batch k's results so H2D transfer overlaps TPU compute
-            import jax
-
             pending = None
             for frames, n in reader:
-                outputs = predictor(jax.device_put(frames))
+                outputs = predictor(jax.device_put(frames, in_sharding)
+                                    if in_sharding is not None
+                                    else jax.device_put(frames))
                 if pending is not None:
                     done += _drain2d(writer, pending[:2], num_joints, bar,
                                      params, done, reader.number_frames)

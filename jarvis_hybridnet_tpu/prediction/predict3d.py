@@ -25,7 +25,55 @@ from ..utils.param_classes import Predict3DParams
 from . import compile_cache
 from .loaders import make_predictor3d
 from .predict2d import _write_header, _write_info, _write_row
-from .video_io import MultiCameraReader, get_video_paths
+from .video_io import MultiCameraReader, get_video_paths, probe_frame_count
+
+
+def _pod_frame_shard(params, probe_path):
+    """Multi-host (pod) streaming: restrict this process to its own
+    contiguous time slice of the recording (parallel.multihost.
+    process_frame_range) so N hosts decode N disjoint slices instead of
+    every host decoding everything. Returns
+    (frame_start, number_frames, shard_suffix, process_index,
+    process_count). Single-process: the identity.
+
+    ``params.process_index`` / ``params.process_count`` override the jax
+    runtime values (simulated-pod tests)."""
+    import jax
+
+    pi = getattr(params, "process_index", None)
+    pc = getattr(params, "process_count", None)
+    pi = jax.process_index() if pi is None else int(pi)
+    pc = jax.process_count() if pc is None else int(pc)
+    if pc <= 1:
+        return params.frame_start, params.number_frames, "", pi, pc
+    from ..parallel.multihost import process_frame_range
+
+    number_frames = params.number_frames
+    if number_frames == -1:
+        number_frames = probe_frame_count(probe_path) - params.frame_start
+    lo, hi = process_frame_range(number_frames, pi, pc)
+    return params.frame_start + lo, hi - lo, f".part{pi:05d}", pi, pc
+
+
+def _merge_pod_shards(output_dir, csv_name, pc, write_header):
+    """Rank-0 merge: header + the per-process shard rows in rank order
+    (shards are contiguous, rank-ordered time slices, so concatenation
+    restores global frame order)."""
+    parts = [os.path.join(output_dir, f"{csv_name}.part{pi:05d}")
+             for pi in range(pc)]
+    missing = [p for p in parts if not os.path.isfile(p)]
+    if missing:
+        clp.error(f"Cannot merge pod shards, missing: {missing}")
+        return
+    with open(os.path.join(output_dir, csv_name), "w", newline="") as out:
+        writer = csv.writer(out, delimiter=",", quotechar='"',
+                            quoting=csv.QUOTE_MINIMAL)
+        write_header(writer)
+        for p in parts:
+            with open(p, newline="") as f:
+                out.write(f.read())
+    for p in parts:
+        os.remove(p)
 
 
 def get_camera_rig(cfg, dataset_name=None) -> CameraRig:
@@ -54,6 +102,8 @@ def _drain(writer, pending, num_joints, bar, params, done, total):
 
 
 def predict3D(params: Predict3DParams) -> str | None:
+    import jax
+
     project = ProjectManager()
     if not project.load(params.project_name):
         clp.error(f"Could not load project: {params.project_name}! Aborting...")
@@ -63,34 +113,55 @@ def predict3D(params: Predict3DParams) -> str | None:
 
     rig = get_camera_rig(cfg, params.dataset_name)
 
-    params.output_dir = os.path.join(
-        project.parent_dir, cfg.PROJECTS_ROOT_PATH, params.project_name,
-        "predictions", "predictions3D",
-        f'Predictions_3D_{time.strftime("%Y%m%d-%H%M%S")}',
-    )
-    os.makedirs(params.output_dir, exist_ok=True)
-    _write_info(params)
-
     video_paths = get_video_paths(params.recording_path, rig.camera_names)
+
+    # pod streaming: this process handles only its own time slice
+    frame_start, number_frames, shard_suffix, pi, pc = _pod_frame_shard(
+        params, video_paths[0]
+    )
+
+    if not params.output_dir:
+        stamp = time.strftime("%Y%m%d-%H%M%S")
+        if jax.process_count() > 1:
+            # all processes must agree on the run directory name
+            from jax.experimental import multihost_utils
+
+            stamp = time.strftime(
+                "%Y%m%d-%H%M%S",
+                time.localtime(float(multihost_utils.broadcast_one_to_all(
+                    np.asarray(time.time())
+                ))),
+            )
+        params.output_dir = os.path.join(
+            project.parent_dir, cfg.PROJECTS_ROOT_PATH, params.project_name,
+            "predictions", "predictions3D", f"Predictions_3D_{stamp}",
+        )
+    os.makedirs(params.output_dir, exist_ok=True)
+    if pi == 0:
+        _write_info(params)
+
     batch = int(cfg.get("TPU", {}).get("FRAME_BATCH", 8))
 
-    # multi-chip: framesets data-parallel over all devices, optionally the
-    # camera axis sharded too (TPU.SHARD_CAMERAS=n) so the voxel gather and
-    # camera-mean ride ICI (parallel/predict_step.py)
-    import jax
-
+    # multi-chip: framesets data-parallel, optionally the camera axis
+    # sharded too (TPU.SHARD_CAMERAS=n) so the voxel gather and
+    # camera-mean ride ICI (parallel/predict_step.py). On a pod each
+    # process meshes only its LOCAL chips: the time axis is sharded
+    # across hosts by _pod_frame_shard already, so the per-host compute
+    # is fully independent and nothing rides DCN.
+    devices = jax.local_devices() if pc > 1 else jax.devices()
     mesh = None
     shard_cameras = False
-    if len(jax.devices()) > 1:
+    if len(devices) > 1:
         from ..parallel.mesh import make_mesh
 
         n_cam = int(cfg.get("TPU", {}).get("SHARD_CAMERAS", 1))
-        n_dev = len(jax.devices())
+        n_dev = len(devices)
         if n_cam > 1 and n_dev % n_cam == 0 and rig.num_cameras % n_cam == 0:
-            mesh = make_mesh(n_data=n_dev // n_cam, n_cameras=n_cam)
+            mesh = make_mesh(n_data=n_dev // n_cam, n_cameras=n_cam,
+                             devices=devices)
             shard_cameras = True
         else:
-            mesh = make_mesh(n_data=n_dev, n_cameras=1)
+            mesh = make_mesh(n_data=n_dev, n_cameras=1, devices=devices)
         n_data = mesh.shape["data"]
         batch = max(batch, n_data) // n_data * n_data  # divisible by dp
         clp.info(f"Sharded inference over {n_dev} devices "
@@ -107,8 +178,8 @@ def predict3D(params: Predict3DParams) -> str | None:
 
     reader = MultiCameraReader(
         video_paths,
-        frame_start=params.frame_start,
-        number_frames=params.number_frames,
+        frame_start=frame_start,
+        number_frames=number_frames,
         batch_size=batch,
     )
 
@@ -139,25 +210,28 @@ def predict3D(params: Predict3DParams) -> str | None:
 
     profile_dir = cfg.get("TPU", {}).get("PROFILE_DIR")
     if profile_dir:
-        import jax
-
         jax.profiler.start_trace(profile_dir)
 
     num_joints = int(cfg.KEYPOINTDETECT.NUM_JOINTS)
-    with open(os.path.join(params.output_dir, "data3D.csv"), "w",
-              newline="") as csvfile:
+
+    def write_header(writer):
+        if len(cfg.KEYPOINT_NAMES) == num_joints:
+            _write_header(writer, cfg, per_joint=("x", "y", "z",
+                                                  "confidence"))
+
+    with open(os.path.join(params.output_dir, f"data3D.csv{shard_suffix}"),
+              "w", newline="") as csvfile:
         writer = csv.writer(csvfile, delimiter=",", quotechar='"',
                             quoting=csv.QUOTE_MINIMAL)
-        if len(cfg.KEYPOINT_NAMES) == num_joints:
-            _write_header(writer, cfg, per_joint=("x", "y", "z", "confidence"))
+        if not shard_suffix:
+            write_header(writer)
+        # pod shards carry no header — the rank-0 merge writes it once
 
         done = 0
         bar = tqdm(total=reader.number_frames)
         # one-deep device pipeline: upload batch k+1 and dispatch its
         # predictor call (async) before fetching batch k's results, so
         # host->device transfer and TPU compute overlap
-        import jax
-
         pending = None  # (outputs, n, host buffer)
         for frames, n in reader:
             dev_frames = (jax.device_put(frames, in_sharding)
@@ -180,7 +254,15 @@ def predict3D(params: Predict3DParams) -> str | None:
         bar.close()
     reader.release()
     if profile_dir:
-        import jax
-
         jax.profiler.stop_trace()
+
+    if shard_suffix:
+        if jax.process_count() > 1:
+            # real pod: wait for every host's shard before merging
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("predict3D_shards")
+        if pi == 0 and getattr(params, "merge_shards", True):
+            _merge_pod_shards(params.output_dir, "data3D.csv", pc,
+                              write_header)
     return params.output_dir

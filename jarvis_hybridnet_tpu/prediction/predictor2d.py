@@ -34,6 +34,7 @@ def build_predict2d(
     center_params: Any,
     keypoint_params: Any,
     dtype=jnp.float32,
+    jit: bool = True,
 ):
     """Returns a jitted ``fn(imgs) -> (points2D, confidences, valid)``.
 
@@ -41,6 +42,9 @@ def build_predict2d(
     points2D: (T, J, 2) float32 full-resolution pixels;
     confidences: (T, J); valid: (T,) bool (maxval > 40 gate,
     jarvis2D.py:121).
+
+    ``jit=False`` returns the untraced function so callers can jit it
+    themselves with explicit shardings (parallel/predict_step.py).
     """
     center_size = int(cfg.CENTERDETECT.IMAGE_SIZE)
     bbox = int(cfg.KEYPOINTDETECT.BOUNDING_BOX_SIZE)
@@ -58,7 +62,6 @@ def build_predict2d(
         dtype=dtype,
     )
 
-    @jax.jit
     def predict(imgs: jnp.ndarray):
         # uint8 frames ship as uint8 (4x less H2D) and stay uint8 through
         # the resize gathers / crop slices
@@ -107,4 +110,4 @@ def build_predict2d(
         confidences = jnp.clip(kmax, max=255.0) / 255.0
         return points, confidences, valid
 
-    return predict
+    return jax.jit(predict) if jit else predict

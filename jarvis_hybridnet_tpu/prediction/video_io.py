@@ -41,6 +41,15 @@ def get_video_paths(recording_path: str, camera_names: list[str]) -> list[str]:
     return video_paths
 
 
+def probe_frame_count(video_path: str) -> int:
+    """Total frame count of a video without opening a full reader."""
+    cap = cv2.VideoCapture(video_path)
+    try:
+        return int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    finally:
+        cap.release()
+
+
 class MultiCameraReader:
     """Synchronized multi-camera video reader: one decode thread per camera,
     shared ring of batch buffers, bounded prefetch.

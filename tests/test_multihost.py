@@ -7,6 +7,8 @@ for streaming prediction, and the single-process degenerate case forming
 correctly-sharded global ``jax.Array``s on the virtual 8-CPU mesh.
 """
 
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -107,3 +109,99 @@ def test_epochs_reshuffle_but_are_reproducible():
     eb0 = [np.asarray(x["idx"]) for x in b]
     np.testing.assert_array_equal(np.concatenate(ea0), np.concatenate(eb0))
     assert not np.array_equal(np.concatenate(ea0), np.concatenate(ea1))
+
+
+@pytest.fixture(scope="module")
+def pod_project(tmp_path_factory):
+    """Tiny project + 12-cam recording where each frame's pixel value
+    encodes its index, so CSV rows identify which frames a process saw."""
+    cv2 = pytest.importorskip("cv2")
+    import shutil
+
+    root = tmp_path_factory.mktemp("pod_project")
+    (root / "datasets").mkdir()
+    os.symlink("/root/reference/datasets/Example_Dataset",
+               str(root / "datasets" / "Example_Dataset"))
+    proj = root / "projects" / "PodProj"
+    proj.mkdir(parents=True)
+    shutil.copyfile(
+        "/root/reference/projects/Example_Project/config.yaml",
+        str(proj / "config.yaml"),
+    )
+    with open(proj / "config.yaml", "a") as f:
+        f.write("\nTPU:\n  FRAME_BATCH: 2\n")
+
+    rig_dir = ("/root/reference/datasets/Example_Dataset/calib_params/"
+               "12Cam_Ralph")
+    cameras = [os.path.splitext(f)[0] for f in os.listdir(rig_dir)]
+    rec = root / "recording"
+    rec.mkdir()
+    n_frames = 11
+    for cam in cameras:
+        w = cv2.VideoWriter(str(rec / f"{cam}.avi"),
+                            cv2.VideoWriter_fourcc(*"MJPG"), 30, (64, 48))
+        for fidx in range(n_frames):
+            w.write(np.full((48, 64, 3), 20 + fidx * 20, np.uint8))
+        w.release()
+    return root, rec, n_frames
+
+
+def _fake_predictor_factory(num_joints):
+    """Stands in for the fused cascade: encodes each frame's mean pixel
+    value into the output points so the CSV reveals frame identity."""
+
+    def make(cfg, rig, wc, wh, mesh=None, shard_cameras=False, dtype=None):
+        def predict(frames):
+            arr = np.asarray(frames)
+            T = arr.shape[0]
+            enc = arr.reshape(T, -1).mean(axis=1)
+            pts = np.tile(enc[:, None, None], (1, num_joints, 3))
+            conf = np.ones((T, num_joints), np.float32)
+            valid = np.ones((T,), bool)
+            return pts, conf, valid
+
+        return predict
+
+    return make
+
+
+def test_pod_streaming_prediction(pod_project, monkeypatch):
+    """predict3D's production pod path: each simulated process decodes
+    only its process_frame_range slice, shard CSVs merge on rank 0, and
+    the merged CSV is row-identical to a single-process run (exact,
+    disjoint, ordered frame coverage)."""
+    from jarvis_hybridnet_tpu.prediction import predict3d as p3d
+    from jarvis_hybridnet_tpu.utils.param_classes import Predict3DParams
+
+    root, rec, n_frames = pod_project
+    monkeypatch.setenv("JARVIS_PARENT_DIR", str(root))
+    monkeypatch.setattr(p3d, "make_predictor3d",
+                        _fake_predictor_factory(23))
+
+    def run(out_dir, pi=None, pc=None):
+        params = Predict3DParams(
+            project_name="PodProj", recording_path=str(rec),
+            weights_center_detect=None, weights_hybridnet=None,
+            output_dir=out_dir, process_index=pi, process_count=pc,
+        )
+        assert p3d.predict3D(params) is not None
+
+    single = str(root / "out_single")
+    run(single)
+    with open(os.path.join(single, "data3D.csv")) as f:
+        ref_rows = f.read().splitlines()
+    assert len(ref_rows) == 2 + n_frames
+
+    pod = str(root / "out_pod")
+    # rank 0 last: its merge step needs every shard present (on a real
+    # pod the sync_global_devices barrier provides this ordering)
+    for pi in (1, 2, 0):
+        run(pod, pi=pi, pc=3)
+    with open(os.path.join(pod, "data3D.csv")) as f:
+        pod_rows = f.read().splitlines()
+    assert pod_rows == ref_rows
+    # shards were cleaned up after the merge
+    assert not [p for p in os.listdir(pod) if ".part" in p]
+    # distinct frames produced distinct rows (content encoding worked),
+    # so row-identity above really proves per-frame coverage and order
+    assert len(set(pod_rows[2:])) == n_frames
