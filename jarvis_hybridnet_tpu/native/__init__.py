@@ -16,8 +16,22 @@ import numpy as np
 
 _DIR = os.path.dirname(__file__)
 _LIB_PATH = os.path.join(_DIR, "libjarvis_host.so")
+_VIDEO_LIB_PATH = os.path.join(_DIR, "libjarvis_video.so")
 _lib = None
 _tried = False
+_video_lib = None
+_video_tried = False
+
+
+def _build(target: str) -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _DIR, "-s", target], check=True,
+            capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
 
 
 def load():
@@ -27,12 +41,7 @@ def load():
         return _lib
     _tried = True
     if not os.path.isfile(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-C", _DIR, "-s"], check=True,
-                capture_output=True, timeout=120,
-            )
-        except Exception:
+        if not _build("libjarvis_host.so"):
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
@@ -69,8 +78,197 @@ def load():
     return _lib
 
 
+def load_video():
+    """Load (building if necessary) the native video decode library
+    (libavformat/libavcodec); None when the toolchain or ffmpeg dev
+    libraries are unavailable — callers fall back to cv2."""
+    global _video_lib, _video_tried
+    if _video_lib is not None or _video_tried:
+        return _video_lib
+    _video_tried = True
+    if not os.path.isfile(_VIDEO_LIB_PATH):
+        if not _build("libjarvis_video.so"):
+            return None
+    try:
+        lib = ctypes.CDLL(_VIDEO_LIB_PATH)
+    except OSError:
+        return None
+
+    c = ctypes
+    lib.jv_probe.restype = c.c_int
+    lib.jv_probe.argtypes = [c.c_char_p, c.POINTER(c.c_int32),
+                             c.POINTER(c.c_int32), c.POINTER(c.c_int64)]
+    lib.jv_open.restype = c.c_void_p
+    lib.jv_open.argtypes = [c.c_char_p, c.c_int64]
+    lib.jv_info.restype = None
+    lib.jv_info.argtypes = [c.c_void_p, c.POINTER(c.c_int32),
+                            c.POINTER(c.c_int32), c.POINTER(c.c_int64)]
+    lib.jv_read.restype = c.c_int
+    lib.jv_read.argtypes = [c.c_void_p, c.c_void_p]
+    lib.jv_close.restype = None
+    lib.jv_close.argtypes = [c.c_void_p]
+    lib.jv_pool_create.restype = c.c_void_p
+    lib.jv_pool_create.argtypes = [
+        c.POINTER(c.c_char_p), c.c_int32, c.c_int64, c.c_int64, c.c_int32,
+        c.POINTER(c.c_void_p), c.c_int32, c.c_int32,
+    ]
+    lib.jv_pool_info.restype = None
+    lib.jv_pool_info.argtypes = [c.c_void_p, c.POINTER(c.c_int32),
+                                 c.POINTER(c.c_int32), c.POINTER(c.c_int64)]
+    lib.jv_pool_next.restype = c.c_int32
+    lib.jv_pool_next.argtypes = [c.c_void_p, c.POINTER(c.c_int32)]
+    lib.jv_pool_recycle.restype = None
+    lib.jv_pool_recycle.argtypes = [c.c_void_p, c.c_int32]
+    lib.jv_pool_destroy.restype = None
+    lib.jv_pool_destroy.argtypes = [c.c_void_p]
+    _video_lib = lib
+    return _video_lib
+
+
 def available() -> bool:
     return load() is not None
+
+
+def video_available() -> bool:
+    return load_video() is not None
+
+
+def probe_video(path: str) -> tuple[int, int, int] | None:
+    """(width, height, n_frames) of a video, or None."""
+    lib = load_video()
+    if lib is None:
+        return None
+    w = ctypes.c_int32()
+    h = ctypes.c_int32()
+    n = ctypes.c_int64()
+    if lib.jv_probe(path.encode(), ctypes.byref(w), ctypes.byref(h),
+                    ctypes.byref(n)) != 0:
+        return None
+    return int(w.value), int(h.value), int(n.value)
+
+
+class VideoReader:
+    """Sequential single-video RGB24 decoder (native libav)."""
+
+    def __init__(self, path: str, frame_start: int = 0):
+        lib = load_video()
+        if lib is None:
+            raise RuntimeError("native video decode unavailable")
+        self._lib = lib
+        self._handle = lib.jv_open(path.encode(), frame_start)
+        if not self._handle:
+            raise RuntimeError(f"could not open video: {path}")
+        w = ctypes.c_int32()
+        h = ctypes.c_int32()
+        n = ctypes.c_int64()
+        lib.jv_info(self._handle, ctypes.byref(w), ctypes.byref(h),
+                    ctypes.byref(n))
+        self.width, self.height = int(w.value), int(h.value)
+        self.n_frames = int(n.value)
+
+    def read(self, out: np.ndarray | None = None) -> np.ndarray | None:
+        """Next frame as (H, W, 3) RGB uint8 (into ``out`` when given);
+        None at end of stream."""
+        if out is None:
+            out = np.empty((self.height, self.width, 3), np.uint8)
+        ret = self._lib.jv_read(self._handle,
+                                out.ctypes.data_as(ctypes.c_void_p))
+        if ret != 0:
+            return None
+        return out
+
+    def close(self):
+        if getattr(self, "_handle", None):
+            self._lib.jv_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class VideoPool:
+    """Multi-camera ring-buffer decode pipeline (C++ worker threads).
+
+    Decodes C synchronized camera streams into caller-visible numpy ring
+    buffers of shape (T, C, H, W, 3) uint8 RGB — the fused predictor's
+    input layout. ``next()`` blocks for the next complete batch and
+    returns ``(buffer, n)``; the caller must hand the buffer back with
+    ``recycle()`` once its H2D transfer has completed.
+    """
+
+    def __init__(self, paths: list[str], frame_start: int = 0,
+                 number_frames: int = -1, batch_size: int = 4,
+                 prefetch: int = 2, num_threads: int | None = None):
+        lib = load_video()
+        if lib is None:
+            raise RuntimeError("native video decode unavailable")
+        self._lib = lib
+        probe = probe_video(paths[0])
+        if probe is None:
+            raise RuntimeError(f"could not open video: {paths[0]}")
+        W, H, _ = probe
+        C = len(paths)
+        n_buffers = prefetch + 1
+        self.buffers = [
+            np.empty((batch_size, C, H, W, 3), np.uint8)
+            for _ in range(n_buffers)
+        ]
+        bufs = (ctypes.c_void_p * n_buffers)(
+            *[b.ctypes.data_as(ctypes.c_void_p).value for b in self.buffers]
+        )
+        if num_threads is None:
+            num_threads = max(1, min(C, (os.cpu_count() or 2) - 1))
+        cpaths = _c_paths(paths)
+        self._handle = lib.jv_pool_create(
+            cpaths, C, frame_start, number_frames, batch_size, bufs,
+            n_buffers, num_threads,
+        )
+        if not self._handle:
+            raise RuntimeError("could not open camera videos "
+                               "(missing file or resolution mismatch?)")
+        w = ctypes.c_int32()
+        h = ctypes.c_int32()
+        n = ctypes.c_int64()
+        lib.jv_pool_info(self._handle, ctypes.byref(w), ctypes.byref(h),
+                         ctypes.byref(n))
+        self.img_size = (int(w.value), int(h.value))
+        self.number_frames = int(n.value)
+        self.batch_size = batch_size
+        self._buf_index = {b.ctypes.data: i
+                           for i, b in enumerate(self.buffers)}
+
+    def next(self) -> tuple[np.ndarray, int] | None:
+        n = ctypes.c_int32()
+        idx = self._lib.jv_pool_next(self._handle, ctypes.byref(n))
+        if idx < 0:
+            return None
+        return self.buffers[idx], int(n.value)
+
+    def __iter__(self):
+        while True:
+            item = self.next()
+            if item is None:
+                return
+            yield item
+
+    def recycle(self, buffer: np.ndarray) -> None:
+        base = buffer.base if buffer.base is not None else buffer
+        self._lib.jv_pool_recycle(self._handle,
+                                  self._buf_index[base.ctypes.data])
+
+    def release(self):
+        if getattr(self, "_handle", None):
+            self._lib.jv_pool_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.release()
+        except Exception:
+            pass
 
 
 def _c_paths(paths: list[str]):

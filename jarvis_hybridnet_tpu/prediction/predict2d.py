@@ -24,7 +24,7 @@ from ..utils import clp
 from ..utils.param_classes import Predict2DParams
 from . import compile_cache
 from .loaders import make_predictor2d
-from .video_io import SingleVideoReader
+from .video_io import open_single_video_reader
 
 
 def predict2D(params: Predict2DParams) -> str | None:
@@ -81,8 +81,9 @@ def predict2D(params: Predict2DParams) -> str | None:
         if multiple_videos:
             stem = os.path.basename(recording_path).split(".")[0]
             csv_name = f"{stem}_{csv_name}"
-        reader = SingleVideoReader(
+        reader = open_single_video_reader(
             recording_path,
+            backend=cfg.get("TPU", {}).get("DECODE_BACKEND"),
             frame_start=params.frame_start,
             number_frames=params.number_frames,
             batch_size=batch,

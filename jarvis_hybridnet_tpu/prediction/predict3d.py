@@ -25,7 +25,11 @@ from ..utils.param_classes import Predict3DParams
 from . import compile_cache
 from .loaders import make_predictor3d
 from .predict2d import _write_header, _write_info, _write_row
-from .video_io import MultiCameraReader, get_video_paths, probe_frame_count
+from .video_io import (
+    get_video_paths,
+    open_multi_camera_reader,
+    probe_frame_count,
+)
 
 
 def _pod_frame_shard(params, probe_path):
@@ -176,8 +180,9 @@ def predict3D(params: Predict3DParams) -> str | None:
     else:
         in_sharding = None
 
-    reader = MultiCameraReader(
+    reader = open_multi_camera_reader(
         video_paths,
+        backend=cfg.get("TPU", {}).get("DECODE_BACKEND"),
         frame_start=frame_start,
         number_frames=number_frames,
         batch_size=batch,

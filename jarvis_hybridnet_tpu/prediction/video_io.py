@@ -264,3 +264,97 @@ class SingleVideoReader(MultiCameraReader):
         # batch is a (T, H, W, 3) view of the underlying (T, 1, H, W, 3)
         # ring buffer; return the base buffer to the ring
         super().recycle(batch.base if batch.base is not None else batch)
+
+
+class NativeMultiCameraReader:
+    """MultiCameraReader backed by the C++ libav pipeline
+    (native.VideoPool): demux + decode + RGB conversion run entirely in
+    C++ worker threads writing straight into the (T, C, H, W, 3) ring
+    buffers, so the Python side only hands buffers to the device and back.
+    Same public interface as :class:`MultiCameraReader`."""
+
+    def __init__(
+        self,
+        video_paths: list[str],
+        frame_start: int = 0,
+        number_frames: int = -1,
+        batch_size: int = 4,
+        prefetch: int = 2,
+        num_threads: int | None = None,
+        **_ignored,
+    ):
+        from .. import native
+
+        if number_frames != -1:
+            probe = native.probe_video(video_paths[0])
+            assert probe and frame_start + number_frames <= probe[2], (
+                "make sure your selected segment is not longer than the "
+                "total video!"
+            )
+        self._pool = native.VideoPool(
+            video_paths, frame_start=frame_start,
+            number_frames=number_frames, batch_size=batch_size,
+            prefetch=prefetch, num_threads=num_threads,
+        )
+        self.img_size = self._pool.img_size
+        self.number_frames = self._pool.number_frames
+        self.batch_size = batch_size
+
+    def __iter__(self):
+        return iter(self._pool)
+
+    def recycle(self, batch: np.ndarray) -> None:
+        self._pool.recycle(batch)
+
+    def release(self):
+        self._pool.release()
+
+
+class NativeSingleVideoReader(NativeMultiCameraReader):
+    """Single-camera native variant yielding (T, H, W, 3) batches."""
+
+    def __init__(self, video_path: str, **kwargs):
+        super().__init__([video_path], **kwargs)
+
+    def __iter__(self):
+        for batch, n in super().__iter__():
+            yield batch[:, 0], n
+
+    def recycle(self, batch: np.ndarray) -> None:
+        super().recycle(batch.base if batch.base is not None else batch)
+
+
+def open_multi_camera_reader(video_paths, backend: str | None = None,
+                             **kwargs):
+    """Reader factory: the native C++ libav pipeline when available,
+    falling back to the cv2-threaded reader. ``backend``: None/'auto',
+    'native' (required), or 'cv2' (forced)."""
+    if backend in (None, "auto", "native"):
+        try:
+            from .. import native
+
+            if native.video_available():
+                return NativeMultiCameraReader(video_paths, **kwargs)
+            if backend == "native":
+                raise RuntimeError("native video decode unavailable")
+        except Exception:
+            if backend == "native":
+                raise
+    return MultiCameraReader(video_paths, **kwargs)
+
+
+def open_single_video_reader(video_path: str, backend: str | None = None,
+                             **kwargs):
+    """Single-video reader factory (see open_multi_camera_reader)."""
+    if backend in (None, "auto", "native"):
+        try:
+            from .. import native
+
+            if native.video_available():
+                return NativeSingleVideoReader(video_path, **kwargs)
+            if backend == "native":
+                raise RuntimeError("native video decode unavailable")
+        except Exception:
+            if backend == "native":
+                raise
+    return SingleVideoReader(video_path, **kwargs)

@@ -90,3 +90,89 @@ def test_bounded_ring_blocks_then_progresses(videos):
     assert sum(out) == N
     assert reader._n_alloc <= reader._max_buffers
     reader.release()
+
+
+# ---------------------------------------------------------------- native ---
+
+native = pytest.importorskip("jarvis_hybridnet_tpu.native")
+needs_native_video = pytest.mark.skipif(
+    not native.video_available(), reason="native video decode unavailable")
+
+
+@needs_native_video
+@pytest.mark.parametrize("num_threads", [1, 2, C])
+def test_native_framesets_synchronized(videos, num_threads):
+    from jarvis_hybridnet_tpu.prediction.video_io import (
+        NativeMultiCameraReader,
+    )
+
+    reader = NativeMultiCameraReader(videos, batch_size=4,
+                                     num_threads=num_threads)
+    assert reader.img_size == (W, H) and reader.number_frames == N
+    seen = 0
+    for batch, n in reader:
+        assert batch.shape == (4, C, H, W, 3)
+        for t in range(n):
+            f = seen + t
+            for c in range(C):
+                val = int(batch[t, c, H // 2, W // 2, 0])
+                assert abs(val - _marker(c, f)) <= 6, (f, c, val)
+        seen += n
+        reader.recycle(batch)
+    assert seen == N
+    reader.release()
+
+
+@needs_native_video
+def test_native_matches_cv2_bitwise(videos):
+    """The libav decode path must reproduce cv2's RGB frames exactly
+    (same libjpeg-family JPEG decode + BT.601 full-range conversion)."""
+    from jarvis_hybridnet_tpu.prediction.video_io import (
+        MultiCameraReader,
+        NativeMultiCameraReader,
+    )
+
+    a = MultiCameraReader(videos, batch_size=4, num_threads=2)
+    b = NativeMultiCameraReader(videos, batch_size=4, num_threads=2)
+    for (ba, na), (bb, nb) in zip(iter(a), iter(b)):
+        assert na == nb
+        np.testing.assert_array_equal(ba[:na], bb[:nb])
+        a.recycle(ba)
+        b.recycle(bb)
+    a.release()
+    b.release()
+
+
+@needs_native_video
+def test_native_frame_range_and_tail(videos):
+    from jarvis_hybridnet_tpu.prediction.video_io import (
+        NativeMultiCameraReader,
+    )
+
+    reader = NativeMultiCameraReader(videos, frame_start=3, number_frames=5,
+                                     batch_size=4, num_threads=2)
+    counts = []
+    first_vals = []
+    for batch, n in reader:
+        counts.append(n)
+        first_vals.append(int(batch[0, 0, H // 2, W // 2, 0]))
+        reader.recycle(batch)
+    assert counts == [4, 1]
+    assert abs(first_vals[0] - _marker(0, 3)) <= 6
+    reader.release()
+
+
+@needs_native_video
+def test_reader_factory_prefers_native(videos):
+    from jarvis_hybridnet_tpu.prediction.video_io import (
+        MultiCameraReader,
+        NativeMultiCameraReader,
+        open_multi_camera_reader,
+    )
+
+    r = open_multi_camera_reader(videos, batch_size=2)
+    assert isinstance(r, NativeMultiCameraReader)
+    r.release()
+    r = open_multi_camera_reader(videos, backend="cv2", batch_size=2)
+    assert isinstance(r, MultiCameraReader)
+    r.release()
