@@ -121,8 +121,11 @@ class MultiCameraReader:
         self._lock = threading.Condition()
         # ring state (all guarded by _lock):
         self._assigned: list[np.ndarray] = []  # buffer for batch b
+        # np.zeros, not np.empty: first-touch faults on numpy's
+        # madvise(HUGEPAGE) pages are pathologically slow on some VMs
+        # (see native.VideoPool); the ring is written by decode threads
         self._free: list[np.ndarray] = [
-            np.empty(self._shape, np.uint8) for _ in range(prefetch + 1)
+            np.zeros(self._shape, np.uint8) for _ in range(prefetch + 1)
         ]
         self._n_alloc = prefetch + 1
         self._max_buffers = max(max_buffers, prefetch + 1)
@@ -153,7 +156,7 @@ class MultiCameraReader:
                 if self._free:
                     self._assigned.append(self._free.pop())
                 elif self._n_alloc < self._max_buffers:
-                    self._assigned.append(np.empty(self._shape, np.uint8))
+                    self._assigned.append(np.zeros(self._shape, np.uint8))
                     self._n_alloc += 1
                 else:
                     self._lock.wait()
