@@ -150,27 +150,14 @@ def _make_recording(rec_dir, camera_names, n_frames, frame):
             shutil.copy(first, path)
 
 
-def main_streaming(n_frames=360):
-    """End-to-end disk->CSV throughput: parallel host video decode
-    (one thread per camera) overlapping the device cascade. Prints the
-    stage table (decode-only / device-only / end-to-end) on stderr and the
-    end-to-end JSON line on stdout."""
+def _streaming_fixture(n_frames):
+    """(rec_dir, rig, writable parent dir) for streaming benchmarks."""
     import shutil
     import tempfile
 
-    import cv2  # noqa: F401 — required for the reader
-    import jax
+    import cv2
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.xla_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-
-    from jarvis_hybridnet_tpu.prediction.predict3d import predict3D
-    from jarvis_hybridnet_tpu.prediction.video_io import (
-        MultiCameraReader,
-        get_video_paths,
-    )
     from jarvis_hybridnet_tpu.utils.calibration import load_camera_rigs
-    from jarvis_hybridnet_tpu.utils.param_classes import Predict3DParams
 
     rig = load_camera_rigs("/root/reference/datasets/Example_Dataset")[
         "12Cam_Ralph"
@@ -182,7 +169,6 @@ def main_streaming(n_frames=360):
     rec_dir = f"/tmp/jarvis_bench_recording_{n_frames}"
     _make_recording(rec_dir, rig.camera_names, n_frames, frame_bgr)
 
-    # writable mirror of the reference project (outputs land here)
     parent = tempfile.mkdtemp(prefix="jarvis_bench_")
     os.makedirs(os.path.join(parent, "projects", "Example_Project"))
     shutil.copy(
@@ -193,14 +179,96 @@ def main_streaming(n_frames=360):
     os.symlink("/root/reference/datasets/Example_Dataset",
                os.path.join(parent, "datasets", "Example_Dataset"))
     os.environ["JARVIS_PARENT_DIR"] = parent
+    return rec_dir, rig, parent
 
+
+def _decode_rate(reader_cls, paths, threads, n_frames=60, batch=8):
+    t0 = time.perf_counter()
+    reader = reader_cls(paths, batch_size=batch, num_threads=threads,
+                        number_frames=n_frames)
+    n = 0
+    for buf, k in reader:
+        n += k
+        reader.recycle(buf)
+    rate = n / (time.perf_counter() - t0)
+    reader.release()
+    return rate
+
+
+def main_decode(n_frames=120):
+    """Host decode-rate-vs-threads curve, native C++ libav pipeline vs the
+    cv2-threaded reader, on the 12-cam 1280x1024 MJPG recording. The
+    decode ceiling is what must meet the device rate on a production
+    host."""
+    from jarvis_hybridnet_tpu.prediction.video_io import (
+        MultiCameraReader,
+        NativeMultiCameraReader,
+        get_video_paths,
+    )
+
+    rec_dir, rig, _ = _streaming_fixture(n_frames)
+    paths = get_video_paths(rec_dir, rig.camera_names)
+    for p in paths:  # warm the page cache: measure decode, not disk
+        with open(p, "rb") as f:
+            f.read()
+
+    rows = []
+    for threads in (1, 2, 4, 8, 12):
+        cv2_r = _decode_rate(MultiCameraReader, paths, threads)
+        nat_r = _decode_rate(NativeMultiCameraReader, paths, threads)
+        rows.append((threads, cv2_r, nat_r))
+        print(f"threads={threads:2d}: cv2 {cv2_r:6.2f} | native "
+              f"{nat_r:6.2f} framesets/s", file=sys.stderr)
+    best = max(r[2] for r in rows)
+    print(json.dumps({
+        "metric": "12-cam MJPG decode ceiling (native C++ pipeline)",
+        "value": round(best, 2),
+        "unit": "framesets/s",
+        "per_frame_ms": round(1000.0 / (best * 12), 2),
+        "curve": [{"threads": t, "cv2": round(c, 2), "native": round(n, 2)}
+                  for t, c, n in rows],
+        "vs_baseline": None,
+    }))
+
+
+def main_streaming(n_frames=None):
+    if n_frames is None:
+        # this dev host's tunneled device relay moves the 377 MB uint8
+        # batches at ~15 MB/s, so a full 360-frame run takes hours; 120
+        # frames bounds the run while keeping the steady-state measurable
+        n_frames = int(os.environ.get("JARVIS_STREAM_FRAMES", "120"))
+    """End-to-end disk->CSV throughput at the fidelity checkpoint: native
+    C++ video decode overlapping the device cascade. Prints the stage
+    table (decode-only / device-only / end-to-end) on stderr and the
+    end-to-end JSON line on stdout."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from jarvis_hybridnet_tpu.config import ProjectManager
+    from jarvis_hybridnet_tpu.prediction.loaders import make_predictor3d
+    from jarvis_hybridnet_tpu.prediction.predict3d import predict3D
+    from jarvis_hybridnet_tpu.prediction.video_io import (
+        get_video_paths,
+        open_multi_camera_reader,
+    )
+    from jarvis_hybridnet_tpu.utils.param_classes import Predict3DParams
+
+    rec_dir, rig, _ = _streaming_fixture(n_frames)
+
+    pm = ProjectManager()
+    assert pm.load("Example_Project")
+    cfg = pm.get_cfg()
+    cfg.DATASET.IMAGE_SIZE = [1280, 1024]
     center_w = ("/root/reference/pretrained/MonkeyHand/"
                 "EfficientTrack_Center-small.pth")
+    ckpt = _fidelity_checkpoint(cfg)
 
     def run(num):
         params = Predict3DParams("Example_Project", rec_dir)
         params.weights_center_detect = center_w
-        params.weights_hybridnet = None
+        params.weights_hybridnet = ckpt  # fidelity checkpoint, not random
         params.number_frames = num
         t0 = time.perf_counter()
         out = predict3D(params)
@@ -209,9 +277,10 @@ def main_streaming(n_frames=360):
     # warm: compile (persistent-cache assisted) + weight loading
     run(16)
 
-    # decode-only rate (the host ceiling)
+    # decode-only rate (the host ceiling), native backend as in the driver
     paths = get_video_paths(rec_dir, rig.camera_names)
-    reader = MultiCameraReader(paths, batch_size=8)
+    reader = open_multi_camera_reader(paths, batch_size=8)
+    backend = type(reader).__name__
     t0 = time.perf_counter()
     n_dec = 0
     for batch, n in reader:
@@ -220,16 +289,42 @@ def main_streaming(n_frames=360):
     decode_fps = n_dec / (time.perf_counter() - t0)
     reader.release()
 
+    # device-only rate at the same checkpoint (device-resident batches)
+    T = int(os.environ.get("JARVIS_BENCH_T", "8"))
+    predictor = make_predictor3d(cfg, rig, center_w, ckpt)
+    C, H, W = 12, 1024, 1280
+    import cv2 as _cv2
+
+    frame = _cv2.imread(
+        "/root/reference/datasets/Example_Dataset/val/12Cam_Ralph/"
+        "Ralph_21072021/Sphere/Camera_B/Frame_58616.jpg")[:, :, ::-1]
+    a = jax.device_put(
+        np.broadcast_to(frame, (T, C, H, W, 3)).astype(np.uint8).copy())
+    b = jax.device_put(
+        np.roll(np.broadcast_to(frame, (T, C, H, W, 3)).astype(np.uint8),
+                1, axis=2).copy())
+    _ = float(predictor(a)[0][0, 0, 0])
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = predictor(a if i % 2 == 0 else b)
+    _ = float(out[0][0, 0, 0])
+    device_fps = iters * T / (time.perf_counter() - t0)
+
     elapsed, _ = run(n_frames)
     e2e = n_frames / elapsed
 
-    print(f"stage table (poses/s): decode-only={decode_fps:.1f} "
-          f"end-to-end={e2e:.1f} (n={n_frames}, includes predictor "
+    print(f"stage table (poses/s, {backend}): decode-only={decode_fps:.1f} "
+          f"device-only={device_fps:.1f} end-to-end={e2e:.1f} "
+          f"(n={n_frames}, fidelity checkpoint, includes predictor "
           f"build + CSV write)", file=sys.stderr)
     print(json.dumps({
         "metric": "predict3D disk->CSV poses/sec (12-cam MJPG streaming)",
         "value": round(e2e, 3),
         "unit": "poses/s",
+        "decode_only": round(decode_fps, 2),
+        "device_only": round(device_fps, 2),
+        "decode_backend": backend,
         "vs_baseline": None,
     }))
 
@@ -363,9 +458,12 @@ def main_train():
                            str(cfg.HYBRIDNET.BATCH_SIZE)))
     workers = int(cfg.get("DATALOADER_NUM_WORKERS", 4))
 
+    worker_mode = os.environ.get(
+        "JARVIS_TRAIN_WORKER_MODE",
+        str(cfg.get("DATALOADER_WORKER_MODE", "thread")))
     ds = Dataset3D(cfg, set="val")
     loader = DataLoader(ds, batch_size=B, shuffle=False, drop_last=True,
-                        num_workers=workers)
+                        num_workers=workers, worker_mode=worker_mode)
 
     def to_batch(b):
         return {
@@ -450,7 +548,8 @@ def main_train():
     _ = float(loss)
     e2e_rate = n / (_t.perf_counter() - t0)
 
-    print(f"train stage table (samples/s, batch={B}): host-only "
+    print(f"train stage table (samples/s, batch={B}, "
+          f"workers={workers}/{worker_mode}): host-only "
           f"{host_rate:.2f}, device-only {dev_rate:.2f}, "
           f"end-to-end {e2e_rate:.2f} "
           f"({'host' if host_rate < dev_rate else 'device'}-bound)",
@@ -468,6 +567,8 @@ def main_train():
 if __name__ == "__main__":
     if "--streaming" in sys.argv:
         sys.exit(main_streaming())
+    if "--decode" in sys.argv:
+        sys.exit(main_decode())
     if "--fidelity" in sys.argv:
         sys.exit(main_fidelity())
     if "--train" in sys.argv:

@@ -15,6 +15,10 @@ def get_default_cfg() -> CfgNode:
     c.PROJECTS_ROOT_PATH = "projects"
     c.PROJECT_NAME = None
     c.DATALOADER_NUM_WORKERS = 8
+    # 'thread' (GIL-releasing decode parallelism, no fork overhead) or
+    # 'process' (forked workers, augmentation scales with cores — the
+    # torch DataLoader analog)
+    c.DATALOADER_WORKER_MODE = "thread"
     c.PARENT_DIR = ""
 
     c.KEYPOINT_NAMES = []

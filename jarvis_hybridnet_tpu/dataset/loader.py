@@ -2,10 +2,21 @@
 
 Replaces the reference's torch ``DataLoader(num_workers=N, pin_memory=True)``
 (jarvis/efficienttrack/efficienttrack.py:210-224) on the host side of the
-TPU pipeline: samples of a batch are built concurrently on a thread pool
-(JPEG decode via cv2/libjpeg and the native C++ pipeline release the GIL,
-so threads parallelize the heavy work without torch's process-fork +
-pickle overhead), batches are collated in submission order, and a bounded
+TPU pipeline. Two worker modes:
+
+* ``worker_mode='thread'`` (default): samples of a batch are built
+  concurrently on a thread pool. JPEG decode via cv2/libjpeg and the
+  native C++ pipeline release the GIL, so threads parallelize the heavy
+  work without process-fork + pickle overhead — but GIL-holding work
+  (numpy augmentation, 3D target synthesis) serializes.
+* ``worker_mode='process'``: forked worker processes each build and
+  collate whole batches (the torch ``DataLoader(num_workers=N)`` analog,
+  reference efficienttrack.py:210-224) and ship them back through
+  pickled numpy buffers. Sidesteps the GIL entirely, so augmentation
+  scales with cores; fork (not spawn) means the dataset object and its
+  COCO index are inherited copy-on-write with zero per-worker setup.
+
+Batches are emitted in submission order in both modes, and a bounded
 prefetch queue lets host data building overlap device compute.
 """
 
@@ -17,6 +28,25 @@ from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
+
+_FORK_POOL_DATASET = None
+
+
+def _fork_worker_init(dataset):
+    # runs in the forked child once: stash the inherited dataset
+    global _FORK_POOL_DATASET
+    _FORK_POOL_DATASET = dataset
+    try:  # avoid cv2 thread oversubscription inside workers
+        import cv2
+
+        cv2.setNumThreads(0)
+    except ImportError:
+        pass
+
+
+def _fork_build_batch(idxs):
+    ds = _FORK_POOL_DATASET
+    return _collate([ds[int(i)] for i in idxs])
 
 
 class _ProducerError:
@@ -56,6 +86,7 @@ class DataLoader:
         prefetch: int = 2,
         seed: int = 0,
         num_workers: int = 4,
+        worker_mode: str = "thread",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -64,6 +95,8 @@ class DataLoader:
         self.prefetch = prefetch
         self.rng = np.random.default_rng(seed)
         self.num_workers = max(0, int(num_workers))
+        assert worker_mode in ("thread", "process"), worker_mode
+        self.worker_mode = worker_mode if self.num_workers else "thread"
 
     def __len__(self):
         n = len(self.dataset)
@@ -110,6 +143,49 @@ class DataLoader:
                     put_checked(_ProducerError(e))
 
             thread = threading.Thread(target=produce_serial, daemon=True)
+        elif self.worker_mode == "process":
+            import multiprocessing as mp
+
+            # fork from the calling thread (not the producer thread): the
+            # children inherit only this moment's state and never touch
+            # jax/XLA, so the usual fork-after-backend-init hazards don't
+            # apply to the worker loop
+            ctx = mp.get_context("fork")
+            pool_proc = ctx.Pool(self.num_workers,
+                                 initializer=_fork_worker_init,
+                                 initargs=(self.dataset,))
+
+            def produce_proc():
+                it = iter(batches)
+                pending: deque = deque()
+
+                def submit_next() -> bool:
+                    idxs = next(it, None)
+                    if idxs is None:
+                        return False
+                    pending.append(pool_proc.apply_async(
+                        _fork_build_batch, ([int(i) for i in idxs],)))
+                    return True
+
+                try:
+                    # keep the workers saturated one batch ahead of the
+                    # prefetch queue
+                    for _ in range(self.prefetch + self.num_workers):
+                        if not submit_next():
+                            break
+                    while pending:
+                        batch = pending.popleft().get()
+                        submit_next()
+                        if not put_checked(batch):
+                            return
+                    put_checked(None)
+                except BaseException as e:  # propagate to the consumer
+                    put_checked(_ProducerError(e))
+                finally:
+                    pool_proc.terminate()
+                    pool_proc.join()
+
+            thread = threading.Thread(target=produce_proc, daemon=True)
         else:
             pool = ThreadPoolExecutor(max_workers=self.num_workers)
 

@@ -141,6 +141,7 @@ class MultiHostLoader:
         prefetch: int = 2,
         process_index: int | None = None,
         process_count: int | None = None,
+        worker_mode: str = "thread",
     ):
         self.dataset = dataset
         self.global_batch_size = int(global_batch_size)
@@ -150,6 +151,7 @@ class MultiHostLoader:
         self.seed = seed
         self.num_workers = num_workers
         self.prefetch = prefetch
+        self.worker_mode = worker_mode
         self._pi = (jax.process_index() if process_index is None
                     else process_index)
         self._pc = (jax.process_count() if process_count is None
@@ -211,6 +213,7 @@ class MultiHostLoader:
             drop_last=True,
             prefetch=self.prefetch,
             num_workers=self.num_workers,
+            worker_mode=self.worker_mode,
         )
         for batch in local:
             yield self._globalize(batch)
@@ -225,6 +228,7 @@ def make_dp_loaders(
     drop_last: bool = False,
     spec_tree=P("data"),
     seed: int = 0,
+    worker_mode: str = "thread",
 ):
     """(train_loader, val_loader) for the data-parallel plan.
 
@@ -239,6 +243,7 @@ def make_dp_loaders(
             return MultiHostLoader(
                 ds, batch_size, mesh, spec_tree=spec_tree,
                 shuffle=shuffle, seed=seed, num_workers=num_workers,
+                worker_mode=worker_mode,
             )
         return mk(train_set, True), mk(val_set, False)
     drop = drop_last or mesh is not None
@@ -253,9 +258,11 @@ def make_dp_loaders(
         )
     return (
         DataLoader(train_set, batch_size=batch_size, shuffle=True,
-                   drop_last=drop, num_workers=num_workers, seed=seed),
+                   drop_last=drop, num_workers=num_workers, seed=seed,
+                   worker_mode=worker_mode),
         DataLoader(val_set, batch_size=batch_size, shuffle=False,
-                   drop_last=drop, num_workers=num_workers),
+                   drop_last=drop, num_workers=num_workers,
+                   worker_mode=worker_mode),
     )
 
 

@@ -17,10 +17,25 @@ from jax import export as jax_export
 
 
 def export_predictor(predict_fn, example_input, path: str) -> None:
-    """Serialize a jitted predictor (weights captured as constants)."""
+    """Serialize a jitted predictor with its weights embedded.
+
+    Live predictors keep weights as jit arguments (cache-key stability,
+    predictor3d.py); for the serialized artifact the weights ARE part of
+    the deliverable, so they are re-bound here as *host numpy* constants
+    (np constants lower without any D2H fetch) via the predictor's
+    ``raw_fn``/``host_params`` attributes.
+    """
+    import numpy as np
+
     spec = jax.ShapeDtypeStruct(example_input.shape,
                                 jnp.dtype(example_input.dtype))
-    exported = jax_export.export(predict_fn)(spec)
+    raw = getattr(predict_fn, "raw_fn", None)
+    if raw is not None:
+        host_params = jax.tree.map(np.asarray, predict_fn.host_params)
+        fn = jax.jit(lambda x: raw(host_params, x))
+    else:
+        fn = predict_fn
+    exported = jax_export.export(fn)(spec)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "wb") as f:
         f.write(exported.serialize())

@@ -43,15 +43,23 @@ def build_predict2d(
     confidences: (T, J); valid: (T,) bool (maxval > 40 gate,
     jarvis2D.py:121).
 
-    ``jit=False`` returns the untraced function so callers can jit it
-    themselves with explicit shardings (parallel/predict_step.py).
+    ``jit=False`` returns the untraced TWO-argument function
+    ``fn(params, imgs)`` (params = {'center':..., 'keypoint':...}) so
+    callers can jit it themselves with explicit shardings
+    (parallel/predict_step.py).
+
+    Weights are jit arguments, not closure constants — see
+    predictor3d.build_predict3d for why (cache-key stability + no D2H
+    constant fetches during lowering on tunneled devices).
     """
     center_size = int(cfg.CENTERDETECT.IMAGE_SIZE)
     bbox = int(cfg.KEYPOINTDETECT.BOUNDING_BOX_SIZE)
     bbox_hw = bbox // 2
     num_joints = int(cfg.KEYPOINTDETECT.NUM_JOINTS)
-    mean = jnp.asarray(cfg.DATASET.MEAN, jnp.float32)
-    std = jnp.asarray(cfg.DATASET.STD, jnp.float32)
+    import numpy as np
+
+    mean = np.asarray(cfg.DATASET.MEAN, np.float32)
+    std = np.asarray(cfg.DATASET.STD, np.float32)
 
     center_model = EfficientTrackBackbone(
         model_size=cfg.CENTERDETECT.MODEL_SIZE, output_channels=1, dtype=dtype
@@ -62,7 +70,9 @@ def build_predict2d(
         dtype=dtype,
     )
 
-    def predict(imgs: jnp.ndarray):
+    def predict(params, imgs: jnp.ndarray):
+        center_params = params["center"]
+        keypoint_params = params["keypoint"]
         # uint8 frames ship as uint8 (4x less H2D) and stay uint8 through
         # the resize gathers / crop slices
         is_uint8 = imgs.dtype == jnp.uint8
@@ -110,4 +120,15 @@ def build_predict2d(
         confidences = jnp.clip(kmax, max=255.0) / 255.0
         return points, confidences, valid
 
-    return jax.jit(predict) if jit else predict
+    params_tree = {"center": center_params, "keypoint": keypoint_params}
+    if not jit:
+        return predict
+    jitted = jax.jit(predict)
+    params_dev = jax.device_put(params_tree)
+
+    def predictor(imgs):
+        return jitted(params_dev, imgs)
+
+    predictor.raw_fn = predict
+    predictor.host_params = params_tree
+    return predictor

@@ -15,6 +15,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.efficienttrack import EfficientTrackBackbone
 from ..models.hybridnet import HybridNetBackbone
@@ -41,20 +42,31 @@ def build_predict3d(
 
     imgs: (T, C, H, W, 3) float32 RGB in [0, 1].
     points3D: (T, J, 3) world mm; confidences: (T, J); valid: (T,) bool.
-    ``jit=False`` returns the traced-but-unjitted function so callers can
-    jit it themselves with explicit shardings (parallel/predict_step.py).
+    ``jit=False`` returns the untraced TWO-argument function
+    ``fn(params, imgs)`` (params = {'center':..., 'hybrid':...}) so
+    callers can jit it themselves with explicit shardings
+    (parallel/predict_step.py).
+
+    The network weights are jit *arguments* (device_put once at build),
+    NOT closure constants: embedding ~50 MB of parameters as HLO
+    constants (a) made every checkpoint a different executable — defeating
+    the persistent compilation cache, the TRT-'previous' analog — and
+    (b) on tunneled devices forced lowering to fetch every constant D2H
+    through the slow relay (measured: minutes of wall time). Geometry and
+    normalization constants stay as *host numpy* closures for the same
+    reason.
     """
     center_size = int(cfg.CENTERDETECT.IMAGE_SIZE)
     bbox = int(cfg.KEYPOINTDETECT.BOUNDING_BOX_SIZE)
     bbox_hw = bbox // 2
     num_joints = int(cfg.KEYPOINTDETECT.NUM_JOINTS)
     num_cameras = int(cfg.HYBRIDNET.NUM_CAMERAS)
-    mean = jnp.asarray(cfg.DATASET.MEAN, jnp.float32)
-    std = jnp.asarray(cfg.DATASET.STD, jnp.float32)
+    mean = np.asarray(cfg.DATASET.MEAN, np.float32)
+    std = np.asarray(cfg.DATASET.STD, np.float32)
 
-    P = jnp.asarray(camera_matrices, jnp.float32)
-    K = jnp.asarray(intrinsics, jnp.float32)
-    D = jnp.asarray(distortions, jnp.float32)
+    P = np.asarray(camera_matrices, np.float32)
+    K = np.asarray(intrinsics, np.float32)
+    D = np.asarray(distortions, np.float32)
 
     center_model = EfficientTrackBackbone(
         model_size=cfg.CENTERDETECT.MODEL_SIZE, output_channels=1, dtype=dtype
@@ -68,7 +80,9 @@ def build_predict3d(
         repro_mode=str(cfg.get("TPU", {}).get("REPRO_MODE", "exact")),
     )
 
-    def predict(imgs: jnp.ndarray):
+    def predict(params, imgs: jnp.ndarray):
+        center_params = params["center"]
+        hybridnet_params = params["hybrid"]
         # uint8 frames stay uint8 until after the resize gathers / crop
         # slices — 4x less HBM traffic on the full-resolution frames.
         is_uint8 = imgs.dtype == jnp.uint8
@@ -140,4 +154,16 @@ def build_predict3d(
         )
         return points3d, confidences, valid
 
-    return jax.jit(predict) if jit else predict
+    params_tree = {"center": center_params, "hybrid": hybridnet_params}
+    if not jit:
+        return predict
+    jitted = jax.jit(predict)
+    params_dev = jax.device_put(params_tree)
+
+    def predictor(imgs):
+        return jitted(params_dev, imgs)
+
+    # for AOT export: re-bindable pure function + host-resident weights
+    predictor.raw_fn = predict
+    predictor.host_params = params_tree
+    return predictor

@@ -151,7 +151,9 @@ class EfficientTrackTrainer:
         mesh = auto_data_mesh(int(cfg.BATCH_SIZE))
         train_loader, val_loader = make_dp_loaders(
             training_set, validation_set, int(cfg.BATCH_SIZE), workers,
-            mesh, drop_last=True)
+            mesh, drop_last=True,
+            worker_mode=str(self.main_cfg.get("DATALOADER_WORKER_MODE",
+                                              "thread")))
         steps_per_epoch = len(train_loader)
         use_onecycle = bool(cfg.USE_ONECYLCLE)
         if use_onecycle:

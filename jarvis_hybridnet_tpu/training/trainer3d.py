@@ -148,7 +148,9 @@ class HybridNetTrainer:
 
         mesh = auto_data_mesh(int(cfg.BATCH_SIZE))
         train_loader, val_loader = make_dp_loaders(
-            training_set, validation_set, int(cfg.BATCH_SIZE), workers, mesh)
+            training_set, validation_set, int(cfg.BATCH_SIZE), workers, mesh,
+            worker_mode=str(self.cfg.get("DATALOADER_WORKER_MODE",
+                                         "thread")))
         steps_per_epoch = len(train_loader)
         use_onecycle = bool(cfg.USE_ONECYLCLE)
         labels = optim.hybridnet_freeze_labels(
