@@ -171,10 +171,16 @@ def _streaming_fixture(n_frames):
 
     parent = tempfile.mkdtemp(prefix="jarvis_bench_")
     os.makedirs(os.path.join(parent, "projects", "Example_Project"))
+    cfg_path = os.path.join(parent, "projects", "Example_Project",
+                            "config.yaml")
     shutil.copy(
-        "/root/reference/projects/Example_Project/config.yaml",
-        os.path.join(parent, "projects", "Example_Project", "config.yaml"),
+        "/root/reference/projects/Example_Project/config.yaml", cfg_path
     )
+    if os.environ.get("JARVIS_STREAM_TWO_PHASE"):
+        # the reference config has no TPU section, so appending one is a
+        # clean yaml merge
+        with open(cfg_path, "a") as f:
+            f.write("\nTPU:\n  TWO_PHASE: true\n")
     os.makedirs(os.path.join(parent, "datasets"))
     os.symlink("/root/reference/datasets/Example_Dataset",
                os.path.join(parent, "datasets", "Example_Dataset"))

@@ -112,6 +112,12 @@ def load_video():
         c.POINTER(c.c_char_p), c.c_int32, c.c_int64, c.c_int64, c.c_int32,
         c.POINTER(c.c_void_p), c.c_int32, c.c_int32,
     ]
+    lib.jv_pool_create2.restype = c.c_void_p
+    lib.jv_pool_create2.argtypes = [
+        c.POINTER(c.c_char_p), c.c_int32, c.c_int64, c.c_int64, c.c_int32,
+        c.POINTER(c.c_void_p), c.c_int32, c.c_int32,
+        c.POINTER(c.c_void_p), c.c_int32, c.c_int32,
+    ]
     lib.jv_pool_info.restype = None
     lib.jv_pool_info.argtypes = [c.c_void_p, c.POINTER(c.c_int32),
                                  c.POINTER(c.c_int32), c.POINTER(c.c_int64)]
@@ -201,7 +207,8 @@ class VideoPool:
 
     def __init__(self, paths: list[str], frame_start: int = 0,
                  number_frames: int = -1, batch_size: int = 4,
-                 prefetch: int = 2, num_threads: int | None = None):
+                 prefetch: int = 2, num_threads: int | None = None,
+                 lowres_factor: int | None = None):
         lib = load_video()
         if lib is None:
             raise RuntimeError("native video decode unavailable")
@@ -223,12 +230,27 @@ class VideoPool:
         bufs = (ctypes.c_void_p * n_buffers)(
             *[b.ctypes.data_as(ctypes.c_void_p).value for b in self.buffers]
         )
+        self.lowres_factor = lowres_factor
+        self.low_buffers = None
+        low_args = (None, 0, 0)
+        if lowres_factor:
+            lw, lh = W // lowres_factor, H // lowres_factor
+            self.low_buffers = [
+                np.zeros((batch_size, C, lh, lw, 3), np.uint8)
+                for _ in range(n_buffers)
+            ]
+            lbufs = (ctypes.c_void_p * n_buffers)(
+                *[b.ctypes.data_as(ctypes.c_void_p).value
+                  for b in self.low_buffers]
+            )
+            low_args = (lbufs, lw, lh)
+            self.low_size = (lw, lh)
         if num_threads is None:
             num_threads = max(1, min(C, (os.cpu_count() or 2) - 1))
         cpaths = _c_paths(paths)
-        self._handle = lib.jv_pool_create(
+        self._handle = lib.jv_pool_create2(
             cpaths, C, frame_start, number_frames, batch_size, bufs,
-            n_buffers, num_threads,
+            n_buffers, num_threads, *low_args,
         )
         if not self._handle:
             raise RuntimeError("could not open camera videos "
@@ -244,11 +266,15 @@ class VideoPool:
         self._buf_index = {b.ctypes.data: i
                            for i, b in enumerate(self.buffers)}
 
-    def next(self) -> tuple[np.ndarray, int] | None:
+    def next(self):
+        """(full, n) — or (full, low, n) when ``lowres_factor`` is set —
+        for the next complete batch; None when exhausted."""
         n = ctypes.c_int32()
         idx = self._lib.jv_pool_next(self._handle, ctypes.byref(n))
         if idx < 0:
             return None
+        if self.low_buffers is not None:
+            return self.buffers[idx], self.low_buffers[idx], int(n.value)
         return self.buffers[idx], int(n.value)
 
     def __iter__(self):

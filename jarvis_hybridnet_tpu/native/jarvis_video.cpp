@@ -56,9 +56,12 @@ struct JvDecoder {
   int64_t next_index = 0; // index of the next frame jv_read returns
   bool drained = false;
   bool pending = false;   // d->frame holds a decoded, unconsumed frame
+  SwsContext* sws_low = nullptr;  // optional second (downscaled) output
 };
 
 void decoder_close(JvDecoder* d) {
+  if (d->sws_low) sws_freeContext(d->sws_low);
+  d->sws_low = nullptr;
   if (d->sws) sws_freeContext(d->sws);
   if (d->frame) av_frame_free(&d->frame);
   if (d->pkt) av_packet_free(&d->pkt);
@@ -129,8 +132,11 @@ int decoder_fetch(JvDecoder* d) {
 }
 
 // Consume the next frame; convert to RGB24 into out (H*W*3, tightly
-// packed; null = discard). Returns 0 on success, 1 on end, <0 on error.
-int decoder_read(JvDecoder* d, uint8_t* out) {
+// packed; null = discard). Optionally also emit an antialiased
+// (SWS_AREA) downscale into out_low (lh*lw*3). Returns 0 on success,
+// 1 on end, <0 on error.
+int decoder_read2(JvDecoder* d, uint8_t* out, uint8_t* out_low, int lw,
+                  int lh) {
   const int ret = decoder_fetch(d);
   if (ret != 0) return ret;
   d->pending = false;
@@ -147,9 +153,26 @@ int decoder_read(JvDecoder* d, uint8_t* out) {
     sws_scale(d->sws, d->frame->data, d->frame->linesize, 0,
               d->frame->height, dst, dst_stride);
   }
+  if (out_low != nullptr) {
+    if (!d->sws_low) {
+      d->sws_low = sws_getContext(
+          d->frame->width, d->frame->height,
+          static_cast<AVPixelFormat>(d->frame->format), lw, lh,
+          AV_PIX_FMT_RGB24, SWS_AREA, nullptr, nullptr, nullptr);
+      if (!d->sws_low) return -14;
+    }
+    uint8_t* dst[4] = {out_low, nullptr, nullptr, nullptr};
+    int dst_stride[4] = {3 * lw, 0, 0, 0};
+    sws_scale(d->sws_low, d->frame->data, d->frame->linesize, 0,
+              d->frame->height, dst, dst_stride);
+  }
   av_frame_unref(d->frame);
   d->next_index++;
   return 0;
+}
+
+int decoder_read(JvDecoder* d, uint8_t* out) {
+  return decoder_read2(d, out, nullptr, 0, 0);
 }
 
 // Position the decoder at frame_start: keyframe seek when the container
@@ -261,6 +284,8 @@ struct JvPool {
   int32_t T = 0, C = 0, W = 0, H = 0;
   int64_t number_frames = 0;
   std::vector<uint8_t*> buffers;
+  std::vector<uint8_t*> low_buffers;  // optional paired downscale ring
+  int32_t LW = 0, LH = 0;
 
   std::mutex mu;
   std::condition_variable cv;        // ring-state changes
@@ -295,14 +320,21 @@ static void pool_worker(JvPool* p, std::vector<int32_t> cams) {
   const size_t frame_bytes = static_cast<size_t>(p->H) * p->W * 3;
   const size_t cam_stride = frame_bytes;                    // within a slot
   const size_t slot_stride = static_cast<size_t>(p->C) * frame_bytes;
+  const bool low = !p->low_buffers.empty();
+  const size_t low_frame = static_cast<size_t>(p->LH) * p->LW * 3;
+  const size_t low_slot = static_cast<size_t>(p->C) * low_frame;
   std::vector<int32_t> live = cams;
   for (int64_t f = 0; f < p->number_frames && !live.empty(); ++f) {
     const int32_t bi = pool_buffer_for(p, f / p->T);
     if (bi < 0) break;
     uint8_t* slot = p->buffers[bi] + (f % p->T) * slot_stride;
+    uint8_t* lslot =
+        low ? p->low_buffers[bi] + (f % p->T) * low_slot : nullptr;
     for (size_t k = 0; k < live.size();) {
       const int32_t c = live[k];
-      if (decoder_read(p->decs[c], slot + c * cam_stride) != 0) {
+      if (decoder_read2(p->decs[c], slot + c * cam_stride,
+                        low ? lslot + c * low_frame : nullptr, p->LW,
+                        p->LH) != 0) {
         std::lock_guard<std::mutex> lk(p->mu);
         p->progress[c] = -p->progress[c] - 1;  // mark done
         live.erase(live.begin() + k);
@@ -366,11 +398,14 @@ static void pool_emit(JvPool* p) {
   }
 }
 
-// buffers: n_buffers pointers, each (T*C*H*W*3) bytes. Returns null on any
-// open/seek failure or resolution mismatch.
-void* jv_pool_create(const char** paths, int32_t n_cams, int64_t frame_start,
-                     int64_t number_frames, int32_t T, uint8_t** buffers,
-                     int32_t n_buffers, int32_t n_threads) {
+// buffers: n_buffers pointers, each (T*C*H*W*3) bytes. low_buffers
+// (nullable): paired (T*C*low_h*low_w*3) downscale ring filled from the
+// same decoded frames (one extra SWS_AREA pass, no second decode).
+// Returns null on any open/seek failure or resolution mismatch.
+void* jv_pool_create2(const char** paths, int32_t n_cams, int64_t frame_start,
+                      int64_t number_frames, int32_t T, uint8_t** buffers,
+                      int32_t n_buffers, int32_t n_threads,
+                      uint8_t** low_buffers, int32_t low_w, int32_t low_h) {
   auto* p = new JvPool();
   p->T = T;
   p->C = n_cams;
@@ -409,6 +444,12 @@ void* jv_pool_create(const char** paths, int32_t n_cams, int64_t frame_start,
     p->buffers.push_back(buffers[i]);
     p->free_bufs.push_back(i);
   }
+  if (low_buffers != nullptr) {
+    for (int32_t i = 0; i < n_buffers; ++i)
+      p->low_buffers.push_back(low_buffers[i]);
+    p->LW = low_w;
+    p->LH = low_h;
+  }
   p->progress.assign(n_cams, 0);
 
   if (n_threads < 1) n_threads = 1;
@@ -420,6 +461,13 @@ void* jv_pool_create(const char** paths, int32_t n_cams, int64_t frame_start,
   }
   p->emitter = std::thread(pool_emit, p);
   return p;
+}
+
+void* jv_pool_create(const char** paths, int32_t n_cams, int64_t frame_start,
+                     int64_t number_frames, int32_t T, uint8_t** buffers,
+                     int32_t n_buffers, int32_t n_threads) {
+  return jv_pool_create2(paths, n_cams, frame_start, number_frames, T,
+                         buffers, n_buffers, n_threads, nullptr, 0, 0);
 }
 
 void jv_pool_info(void* h, int32_t* width, int32_t* height,

@@ -151,3 +151,37 @@ def make_predictor3d(
         rig.distortions,
         dtype=dtype or _dtype_from_cfg(cfg),
     )
+
+
+def make_predictor3d_twophase(
+    cfg,
+    rig,
+    full_size,
+    weights_center_detect: str = "latest",
+    weights_hybridnet: str = "latest",
+    lowres_factor: int = 4,
+    dtype=None,
+):
+    """(phase_a, phase_b, crop_fn) for the split streaming cascade
+    (predictor3d.build_predict3d_twophase) with resolved weights."""
+    from .predictor3d import build_predict3d_twophase
+
+    center = load_efficienttrack_params(
+        cfg, "CenterDetect", weights_center_detect,
+        init_params=init_efficienttrack_params(cfg, "CenterDetect",
+                                               abstract=True),
+    )
+    hybrid = load_hybridnet_params(
+        cfg, weights_hybridnet,
+        init_params=init_hybridnet_params(cfg, abstract=True),
+    )
+    if center is None:
+        center = init_efficienttrack_params(cfg, "CenterDetect")
+    if hybrid is None:
+        hybrid = init_hybridnet_params(cfg)
+    return build_predict3d_twophase(
+        cfg, center, hybrid,
+        rig.camera_matrices, rig.intrinsics, rig.distortions,
+        full_size=full_size, lowres_factor=lowres_factor,
+        dtype=dtype or _dtype_from_cfg(cfg),
+    )

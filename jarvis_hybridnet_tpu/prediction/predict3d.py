@@ -105,6 +105,76 @@ def _drain(writer, pending, num_joints, bar, params, done, total):
         params.progress_bar.progress(min(1.0, (done + n) / total))
 
 
+def _predict3d_twophase(params, cfg, rig, video_paths, frame_start,
+                        number_frames, batch, shard_suffix, pi, pc):
+    """Split-cascade streaming loop (predictor3d.build_predict3d_twophase):
+    the host uploads 4x-downscaled frames for CenterDetect and only the
+    bbox^2 crop windows for the rest of the cascade — ~9x less H2D than
+    shipping full frames. Requires the native decode pipeline (its paired
+    lowres ring comes from the same decoded frame at no extra decode)."""
+    import jax
+
+    from .loaders import make_predictor3d_twophase
+    from .video_io import NativeMultiCameraReader
+
+    factor = int(cfg.get("TPU", {}).get("LOWRES_FACTOR", 4))
+    reader = NativeMultiCameraReader(
+        video_paths, frame_start=frame_start, number_frames=number_frames,
+        batch_size=batch, lowres_factor=factor,
+    )
+    phase_a, phase_b, crop_fn = make_predictor3d_twophase(
+        cfg, rig, reader.img_size,
+        weights_center_detect=params.weights_center_detect,
+        weights_hybridnet=params.weights_hybridnet,
+        lowres_factor=factor,
+    )
+
+    num_joints = int(cfg.KEYPOINTDETECT.NUM_JOINTS)
+
+    def write_header(writer):
+        if len(cfg.KEYPOINT_NAMES) == num_joints:
+            _write_header(writer, cfg, per_joint=("x", "y", "z",
+                                                  "confidence"))
+
+    with open(os.path.join(params.output_dir, f"data3D.csv{shard_suffix}"),
+              "w", newline="") as csvfile:
+        writer = csv.writer(csvfile, delimiter=",", quotechar='"',
+                            quoting=csv.QUOTE_MINIMAL)
+        if not shard_suffix:
+            write_header(writer)
+        done = 0
+        bar = tqdm(total=reader.number_frames)
+        pending = None  # ((pts, conf, valid), n, full buffer)
+        for full, low, n in iter(reader._pool):
+            cx, cy, c3d, valid = phase_a(jax.device_put(low))
+            # tiny D2H sync: the host needs the crop centers to slice
+            crops = crop_fn(full, np.asarray(cx), np.asarray(cy))
+            pts, conf = phase_b(jax.device_put(crops), cx, cy, c3d)
+            if pending is not None:
+                _drain(writer, pending[:2], num_joints, bar, params,
+                       done, reader.number_frames)
+                done += pending[1]
+                reader.recycle(pending[2])
+            pending = ((pts, conf, valid), n, full)
+        if pending is not None:
+            _drain(writer, pending[:2], num_joints, bar, params,
+                   done, reader.number_frames)
+            done += pending[1]
+            reader.recycle(pending[2])
+        bar.close()
+    reader.release()
+
+    if shard_suffix:
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("predict3D_shards")
+        if pi == 0 and getattr(params, "merge_shards", True):
+            _merge_pod_shards(params.output_dir, "data3D.csv", pc,
+                              write_header)
+    return params.output_dir
+
+
 def predict3D(params: Predict3DParams) -> str | None:
     import jax
 
@@ -145,6 +215,21 @@ def predict3D(params: Predict3DParams) -> str | None:
         _write_info(params)
 
     batch = int(cfg.get("TPU", {}).get("FRAME_BATCH", 8))
+
+    # split-cascade streaming (lowres CenterDetect + host crops): takes
+    # precedence over the fused path when enabled — it exists to beat the
+    # host->device bandwidth wall, which multi-chip sharding cannot fix
+    if (params.trt_mode != "previous"
+            and bool(cfg.get("TPU", {}).get("TWO_PHASE", False))):
+        from .. import native
+
+        if native.video_available():
+            return _predict3d_twophase(
+                params, cfg, rig, video_paths, frame_start, number_frames,
+                batch, shard_suffix, pi, pc,
+            )
+        clp.warning("TPU.TWO_PHASE requires the native video pipeline; "
+                    "falling back to the fused predictor.")
 
     # multi-chip: framesets data-parallel, optionally the camera axis
     # sharded too (TPU.SHARD_CAMERAS=n) so the voxel gather and

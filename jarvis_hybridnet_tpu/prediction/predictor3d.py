@@ -167,3 +167,147 @@ def build_predict3d(
     predictor.raw_fn = predict
     predictor.host_params = params_tree
     return predictor
+
+
+def build_predict3d_twophase(
+    cfg,
+    center_params: Any,
+    hybridnet_params: Any,
+    camera_matrices,  # (C, 4, 3)
+    intrinsics,  # (C, 3, 3)
+    distortions,  # (C, 1, 5)
+    full_size,  # (W, H) of the full-resolution recording
+    lowres_factor: int = 4,
+    dtype=jnp.float32,
+):
+    """Split cascade for host-bandwidth-bound streaming.
+
+    The fused predictor uploads full-resolution frames
+    (T*C*H*W*3 ~ 377 MB per T=8 batch on the 12-cam rig) although the
+    device only ever *reads* ~11% of those bytes: the CenterDetect pass
+    consumes a 4x-downscaled view and the rest of the cascade consumes
+    the 256^2 crop windows. Splitting the cascade moves the data
+    reduction onto the host:
+
+      phase A (device): lowres frames -> CenterDetect -> gate + weighted
+        DLT -> crop centers (full-res coords) + center3D;
+      (host): slice bbox^2 windows out of the already-decoded full-res
+        ring buffers at those centers;
+      phase B (device): crops -> KeypointDetect -> reprojection -> V2V
+        -> soft-argmax.
+
+    H2D per batch drops ~9x (24 MB lowres + 19 MB crops vs 377 MB).
+    CenterDetect sees resize(lowres) instead of resize(full-res), so the
+    detected center can shift by a pixel or two — the same order as the
+    stride-2 argmax's intrinsic quantization. Because the voxel volume is
+    built crop-relative (per-camera projection shifts cancel), ANY center
+    estimate rigidly translates the whole pose by its own error — in the
+    fused path and the reference alike — while the crop-relative pose is
+    bit-for-bit the same computation. Guarded by
+    tests/test_predictor_golden.py::test_predict3d_twophase_matches_fused
+    (rigid offset < 5 mm, non-rigid residual < 0.25 mm).
+
+    Returns ``(phase_a, phase_b, crop_fn)``:
+      phase_a(lowres_uint8 (T, C, H/f, W/f, 3)) -> (cx, cy, center3d, valid)
+      phase_b(crops_uint8 (T, C, bbox, bbox, 3), cx, cy, center3d)
+        -> (points3D, confidences)
+      crop_fn(frames (T, C, H, W, 3) np.uint8, cx, cy) -> host crops
+    """
+    center_size = int(cfg.CENTERDETECT.IMAGE_SIZE)
+    bbox = int(cfg.KEYPOINTDETECT.BOUNDING_BOX_SIZE)
+    bbox_hw = bbox // 2
+    num_joints = int(cfg.KEYPOINTDETECT.NUM_JOINTS)
+    mean = np.asarray(cfg.DATASET.MEAN, np.float32)
+    std = np.asarray(cfg.DATASET.STD, np.float32)
+    P = np.asarray(camera_matrices, np.float32)
+    K = np.asarray(intrinsics, np.float32)
+    D = np.asarray(distortions, np.float32)
+    W_full, H_full = int(full_size[0]), int(full_size[1])
+
+    center_model = EfficientTrackBackbone(
+        model_size=cfg.CENTERDETECT.MODEL_SIZE, output_channels=1,
+        dtype=dtype)
+    hybrid_model = HybridNetBackbone(
+        num_joints=num_joints,
+        model_size=cfg.KEYPOINTDETECT.MODEL_SIZE,
+        roi_cube_size=int(cfg.HYBRIDNET.ROI_CUBE_SIZE),
+        grid_spacing=int(cfg.HYBRIDNET.GRID_SPACING),
+        dtype=dtype,
+        repro_mode=str(cfg.get("TPU", {}).get("REPRO_MODE", "exact")),
+    )
+
+    def phase_a(params, lowres):
+        T, C, Hl, Wl = (lowres.shape[0], lowres.shape[1], lowres.shape[2],
+                        lowres.shape[3])
+        is_uint8 = lowres.dtype == jnp.uint8
+        value_scale = 255.0 if is_uint8 else 1.0
+        # heatmap coords -> FULL-resolution pixels (DLT intrinsics are in
+        # full-res pixels)
+        scale = jnp.asarray(
+            [W_full / float(center_size), H_full / float(center_size)],
+            jnp.float32)
+        flat = lowres.reshape(T * C, Hl, Wl, 3)
+        if dtype == jnp.bfloat16:
+            resized = resize_bilinear_mxu(
+                flat, center_size, center_size, dtype) / value_scale
+            inp = normalize_imagenet(resized, mean.astype(dtype),
+                                     std.astype(dtype))
+        else:
+            resized = resize_bilinear(
+                flat, center_size, center_size) / value_scale
+            inp = normalize_imagenet(resized, mean, std).astype(dtype)
+        _, hm = center_model.apply({"params": params}, inp)
+        hm = hm.astype(jnp.float32)
+        xy, maxval = argmax_2d(hm)
+        preds = xy[:, 0].reshape(T, C, 2).astype(jnp.float32)
+        maxvals = maxval[:, 0].reshape(T, C)
+        valid = jnp.sum(maxvals > 50.0, axis=1) >= 2
+        weights = maxvals / 255.0
+        pts_fullres = preds * (scale * 2.0)
+        center3d = jax.vmap(lambda p, w: triangulate(p, w, P, K, D))(
+            pts_fullres, weights)
+        center3d = jnp.where(valid[:, None], center3d, 0.0)
+        centers = jax.vmap(lambda c: project_points(c, P, K, D))(center3d)
+        centers = centers.astype(jnp.int32)
+        cx = jnp.clip(centers[..., 0], bbox_hw, W_full - bbox_hw)
+        cy = jnp.clip(centers[..., 1], bbox_hw, H_full - bbox_hw)
+        return cx, cy, center3d.astype(jnp.int32), valid
+
+    def phase_b(params, crops, cx, cy, center3d):
+        T = crops.shape[0]
+        is_uint8 = crops.dtype == jnp.uint8
+        value_scale = 255.0 if is_uint8 else 1.0
+        crops = crops.astype(jnp.float32) / value_scale
+        crops = normalize_imagenet(crops, mean, std)
+        center_hm = jnp.stack([cx, cy], axis=-1)
+        _, _, points3d, confidences = hybrid_model.apply(
+            {"params": params},
+            crops,
+            center_hm,
+            center3d,
+            jnp.broadcast_to(P, (T,) + P.shape),
+            jnp.broadcast_to(K, (T,) + K.shape),
+            jnp.broadcast_to(D, (T,) + D.shape),
+        )
+        return points3d, confidences
+
+    jit_a = jax.jit(phase_a)
+    jit_b = jax.jit(phase_b)
+    center_dev = jax.device_put(center_params)
+    hybrid_dev = jax.device_put(hybridnet_params)
+
+    def crop_fn(frames: np.ndarray, cx: np.ndarray, cy: np.ndarray):
+        """Host-side window slicing from the full-res decode ring."""
+        T, C = frames.shape[0], frames.shape[1]
+        out = np.empty((T, C, bbox, bbox, 3), np.uint8)
+        for t in range(T):
+            for c in range(C):
+                x0 = int(cx[t, c]) - bbox_hw
+                y0 = int(cy[t, c]) - bbox_hw
+                out[t, c] = frames[t, c, y0:y0 + bbox, x0:x0 + bbox]
+        return out
+
+    return (lambda lowres: jit_a(center_dev, lowres),
+            lambda crops, cx, cy, c3d: jit_b(hybrid_dev, crops, cx, cy,
+                                             c3d),
+            crop_fn)

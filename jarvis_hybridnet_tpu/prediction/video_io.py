@@ -284,6 +284,7 @@ class NativeMultiCameraReader:
         batch_size: int = 4,
         prefetch: int = 2,
         num_threads: int | None = None,
+        lowres_factor: int | None = None,
         **_ignored,
     ):
         from .. import native
@@ -298,10 +299,12 @@ class NativeMultiCameraReader:
             video_paths, frame_start=frame_start,
             number_frames=number_frames, batch_size=batch_size,
             prefetch=prefetch, num_threads=num_threads,
+            lowres_factor=lowres_factor,
         )
         self.img_size = self._pool.img_size
         self.number_frames = self._pool.number_frames
         self.batch_size = batch_size
+        self.lowres_factor = lowres_factor
 
     def __iter__(self):
         return iter(self._pool)

