@@ -30,7 +30,10 @@ def _materialize(init_fn, *args, seed: int = 0, abstract: bool = False):
         return jax.tree.map(
             lambda s: np.zeros(s.shape, s.dtype), shapes
         )["params"]
-    return init_fn(jax.random.PRNGKey(seed), *args)["params"]
+    # jitted: eager flax init dispatches every conv op-by-op on the host —
+    # tens of seconds for the big backbones on a small CPU; the compiled
+    # init graph lands in the persistent compilation cache instead.
+    return jax.jit(init_fn)(jax.random.PRNGKey(seed), *args)["params"]
 
 
 def init_efficienttrack_params(

@@ -76,7 +76,8 @@ class EfficientTrackTrainer:
         size = int(self.cfg.IMAGE_SIZE if mode == "CenterDetect"
                    else cfg.KEYPOINTDETECT.BOUNDING_BOX_SIZE)
         self.input_size = size
-        self.params = self.model.init(
+        # jitted init: eager flax init dispatches op-by-op on the host
+        self.params = jax.jit(self.model.init)(
             jax.random.PRNGKey(0),
             jnp.zeros((1, size, size, 3), jnp.float32),
         )["params"]

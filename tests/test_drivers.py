@@ -99,20 +99,46 @@ def test_predict2d_driver(project_dir, recordings, monkeypatch):
     assert np.median(spread[conf[..., None].repeat(2, -1) > 0.3]) <= 2.0
 
 
-def test_predict3d_driver(project_dir, recordings, monkeypatch):
+@pytest.fixture(scope="module")
+def project3d_dir(project_dir):
+    """Second project with a reduced 3D config: the 3D driver test checks
+    CSV plumbing + AOT artifact round-trip, not accuracy — CenterDetect
+    keeps production settings (the real-weights detection gate must pass),
+    but the 3D stage shrinks (128 px crops, 64 mm cube -> 32^3 grid) and
+    runs f32 (bf16 convs are emulated, slower, on the CPU test backend;
+    the bf16 path is covered by test_parallel.py::test_sharded_predict3d)."""
+    import yaml
+
+    src = project_dir / "projects" / "TestProj" / "config.yaml"
+    with open(src) as f:
+        cfg = yaml.safe_load(f)
+    cfg["KEYPOINTDETECT"]["BOUNDING_BOX_SIZE"] = 128
+    cfg["HYBRIDNET"]["ROI_CUBE_SIZE"] = 64
+    cfg["HYBRIDNET"]["GRID_SPACING"] = 2
+    cfg["TPU"] = {"FRAME_BATCH": 2, "INFERENCE_DTYPE": "float32"}
+    proj = project_dir / "projects" / "TestProj3D"
+    proj.mkdir()
+    with open(proj / "config.yaml", "w") as f:
+        yaml.safe_dump(cfg, f)
+    return project_dir
+
+
+def test_predict3d_driver(project3d_dir, recordings, monkeypatch):
     from jarvis_hybridnet_tpu.prediction.predict3d import predict3D
     from jarvis_hybridnet_tpu.utils.param_classes import Predict3DParams
 
+    project_dir = project3d_dir
     monkeypatch.setenv("JARVIS_PARENT_DIR", str(project_dir))
     rec_dir, _ = recordings
 
     def run(trt_mode):
         return predict3D(Predict3DParams(
-            project_name="TestProj",
+            project_name="TestProj3D",
             recording_path=str(rec_dir),
             weights_center_detect=(
                 f"{PRETRAIN_DIR}/EfficientTrack_Center-small.pth"),
             weights_hybridnet=None,  # no pretrained 3D zoo entry exists
+            number_frames=2,  # one T=2 batch per run (plumbing, not perf)
             trt_mode=trt_mode,
         ))
 
@@ -120,7 +146,7 @@ def test_predict3d_driver(project_dir, recordings, monkeypatch):
     assert out is not None
     with open(os.path.join(out, "data3D.csv")) as f:
         rows = list(csv.reader(f))
-    assert len(rows) == 6
+    assert len(rows) == 2 + 2  # header + number_frames
     assert rows[1][:4] == ["x", "y", "z", "confidence"]
     assert len(rows[2]) == 23 * 4
     vals = np.array(rows[2], dtype=np.float64)
@@ -128,7 +154,7 @@ def test_predict3d_driver(project_dir, recordings, monkeypatch):
     assert np.isfinite(vals).all()
 
     # artifact written; 'previous' reloads it and reproduces the CSV
-    compiled = (project_dir / "projects" / "TestProj" / "compiled-models")
+    compiled = (project_dir / "projects" / "TestProj3D" / "compiled-models")
     arts = list(compiled.glob("predict3D_*.jaxexp"))
     assert len(arts) == 1 and arts[0].stat().st_size > 1000
     out2 = run("previous")

@@ -10,6 +10,7 @@ Softplus head merge, transposed-conv head.
 
 import sys
 
+import jax
 import numpy as np
 import pytest
 
@@ -50,7 +51,7 @@ def test_param_tree_complete(flax_setup):
 
     model, params = flax_setup
     rng = jax.random.PRNGKey(0)
-    init = model.init(rng, np.zeros((1, 64, 64, 3), np.float32))["params"]
+    init = jax.jit(model.init)(rng, np.zeros((1, 64, 64, 3), np.float32))["params"]
     init_paths = {jax.tree_util.keystr(p) for p, _ in
                   jax.tree_util.tree_flatten_with_path(init)[0]}
     conv_paths = {jax.tree_util.keystr(p) for p, _ in
@@ -75,7 +76,7 @@ def test_full_forward_matches_reference(torch_model, flax_setup):
     t_res2 = t_res2.numpy()
 
     model, params = flax_setup
-    j_res1, j_res2 = model.apply({"params": params}, img)
+    j_res1, j_res2 = jax.jit(model.apply)({"params": params}, img)
     j_res1 = np.asarray(j_res1).transpose(0, 3, 1, 2)
     j_res2 = np.asarray(j_res2).transpose(0, 3, 1, 2)
 

@@ -56,17 +56,17 @@ def test_hybridnet_half_fused_matches_half(example_dataset):
                              repro_mode=m)
         for m in ("half", "half_fused")
     }
-    params = models["half"].init(
+    params = jax.jit(models["half"].init)(
         jax.random.PRNGKey(0), imgs, center_hm, center3d, P, K, D
     )["params"]
     # identical parameter trees (fused front conv shares names/shapes)
-    init_fused = models["half_fused"].init(
+    init_fused = jax.jit(models["half_fused"].init)(
         jax.random.PRNGKey(0), imgs, center_hm, center3d, P, K, D
     )["params"]
     assert jax.tree.structure(params) == jax.tree.structure(init_fused)
 
     outs = {
-        m: models[m].apply({"params": params}, imgs, center_hm, center3d,
+        m: jax.jit(models[m].apply)({"params": params}, imgs, center_hm, center3d,
                            P, K, D)
         for m in models
     }

@@ -7,6 +7,7 @@ factories to run it on CPU unchanged.
 
 import sys
 
+import jax
 import numpy as np
 import pytest
 
@@ -146,7 +147,7 @@ def test_v2v_matches_reference(reference_dir, golden_cache):
     params = v2v_params_from_torch(sd)
 
     model = V2VNet(J)
-    j_out = model.apply(
+    j_out = jax.jit(model.apply, static_argnames='deterministic')(
         {"params": params}, vol.transpose(0, 2, 3, 4, 1), deterministic=True
     )
     j_out = np.asarray(j_out).transpose(0, 4, 1, 2, 3)
@@ -237,7 +238,7 @@ def test_full_hybridnet_matches_reference(cpu_torch, rig, reference_dir,
         num_joints=J, model_size="small", roi_cube_size=64, grid_spacing=2
     )
     params = hybridnet_params_from_torch(sd, "small")
-    j_hm, j_pad, j_pts, j_conf = model.apply(
+    j_hm, j_pad, j_pts, j_conf = jax.jit(model.apply)(
         {"params": params},
         imgs.transpose(0, 1, 3, 4, 2),
         center_hm,

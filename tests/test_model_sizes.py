@@ -39,8 +39,8 @@ def test_feature_tap_channels(size):
 def test_backbone_builds_and_runs(size):
     model = EfficientTrackBackbone(model_size=size, output_channels=2)
     x = jnp.zeros((1, 128, 128, 3), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), x)["params"]
-    res1, res2 = model.apply({"params": params}, x)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
+    res1, res2 = jax.jit(model.apply)({"params": params}, x)
     assert res1.shape == (1, 32, 32, 2)
     assert res2.shape == (1, 64, 64, 2)
     assert np.isfinite(np.asarray(res2)).all()
@@ -64,7 +64,7 @@ def test_medium_matches_reference_architecture(reference_dir):
     params = efficienttrack_params_from_torch(sd, "medium")
 
     model = EfficientTrackBackbone(model_size="medium", output_channels=3)
-    init = model.init(jax.random.PRNGKey(0),
+    init = jax.jit(model.init)(jax.random.PRNGKey(0),
                       jnp.zeros((1, 128, 128, 3), jnp.float32))["params"]
     flat_init = dict(jax.tree_util.tree_flatten_with_path(init)[0])
     flat_conv = dict(jax.tree_util.tree_flatten_with_path(params)[0])

@@ -60,7 +60,7 @@ def test_sharded_train_step_matches_single_device():
              "heatmap3d": hm3d, "camera_matrices": P, "intrinsics": K,
              "distortions": D}
 
-    params = model.init(jax.random.PRNGKey(0), imgs, center_hm, center3d,
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), imgs, center_hm, center3d,
                         P, K, D)["params"]
     tx = optax.adamw(1e-3)
     opt_state = tx.init(params)

@@ -13,7 +13,13 @@ PRETRAIN_DIR = "/root/reference/pretrained/MonkeyHand"
 def cfg(reference_dir):
     pm = ProjectManager(parent_dir=str(reference_dir))
     assert pm.load("Example_Project")
-    return pm.get_cfg()
+    c = pm.get_cfg()
+    # f32 on the CPU test backend: bf16 convs are emulated (slower) there
+    # and these tests assert px/mm-level accuracy, not production numerics
+    # (the bf16 path is exercised on-chip by bench.py --fidelity and on the
+    # virtual mesh by test_parallel.py::test_sharded_predict3d)
+    c.TPU.INFERENCE_DTYPE = "float32"
+    return c
 
 
 def test_resize_matches_torch_no_antialias():
@@ -47,12 +53,14 @@ def test_predict2d_on_real_frames(cfg):
     center = load_efficienttrack_params(
         cfg, "CenterDetect",
         f"{PRETRAIN_DIR}/EfficientTrack_Center-small.pth",
-        init_params=init_efficienttrack_params(cfg, "CenterDetect"),
+        init_params=init_efficienttrack_params(cfg, "CenterDetect",
+                                               abstract=True),
     )
     keypoint = load_efficienttrack_params(
         cfg, "KeypointDetect",
         f"{PRETRAIN_DIR}/EfficientTrack_Keypoints-small.pth",
-        init_params=init_efficienttrack_params(cfg, "KeypointDetect"),
+        init_params=init_efficienttrack_params(cfg, "KeypointDetect",
+                                                abstract=True),
     )
     predict = build_predict2d(cfg, center, keypoint)
 
@@ -83,18 +91,16 @@ def test_predict2d_on_real_frames(cfg):
     assert np.median(errs) < 6.0, np.median(errs)
 
 
-def test_voxel_volume_peaks_at_gt(cfg):
-    """Real pretrained 2D heatmaps reprojected into the voxel grid must
-    peak near the triangulated GT 3D keypoints — validates the whole
-    geometric chain (calibration, crops, clamping, index upsampling,
-    gather) with real data."""
-    import jax.numpy as jnp
+@pytest.fixture(scope="module")
+def real_heatmaps(cfg):
+    """One val frameset + its padded pretrained KeypointDetect heatmaps,
+    shared by the repro-layer accuracy tests."""
+    import jax
 
     from jarvis_hybridnet_tpu.dataset.dataset3d import Dataset3D
     from jarvis_hybridnet_tpu.models.efficienttrack import (
         EfficientTrackBackbone,
     )
-    from jarvis_hybridnet_tpu.models.repro import reprojection_layer
     from jarvis_hybridnet_tpu.models.weights_io import (
         efficienttrack_params_from_torch,
         load_torch_state_dict,
@@ -102,19 +108,28 @@ def test_voxel_volume_peaks_at_gt(cfg):
 
     ds = Dataset3D(cfg, set="val")
     s = ds[0]
-    C = ds.num_cameras
     J = int(cfg.KEYPOINTDETECT.NUM_JOINTS)
-    G = int(cfg.HYBRIDNET.ROI_CUBE_SIZE / cfg.HYBRIDNET.GRID_SPACING)
-
     sd = load_torch_state_dict(
         f"{PRETRAIN_DIR}/EfficientTrack_Keypoints-small.pth"
     )
     params = efficienttrack_params_from_torch(sd, "small")
     model = EfficientTrackBackbone(model_size="small", output_channels=J)
-
-    _, hm = model.apply({"params": params}, s["imgs"])  # (C, S/2, S/2, J)
+    _, hm = jax.jit(model.apply)({"params": params}, s["imgs"])
     hm = np.asarray(hm).transpose(0, 3, 1, 2)  # (C, J, h, h)
     hm = np.pad(hm, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    return s, hm
+
+
+def test_voxel_volume_peaks_at_gt(cfg, real_heatmaps):
+    """Real pretrained 2D heatmaps reprojected into the voxel grid must
+    peak near the triangulated GT 3D keypoints — validates the whole
+    geometric chain (calibration, crops, clamping, index upsampling,
+    gather) with real data."""
+    from jarvis_hybridnet_tpu.models.repro import reprojection_layer
+
+    s, hm = real_heatmaps
+    J = int(cfg.KEYPOINTDETECT.NUM_JOINTS)
+    G = int(cfg.HYBRIDNET.ROI_CUBE_SIZE / cfg.HYBRIDNET.GRID_SPACING)
 
     vol = np.asarray(
         reprojection_layer(
@@ -147,34 +162,16 @@ def test_voxel_volume_peaks_at_gt(cfg):
     assert np.median(errs) < 6.0, (np.median(errs), errs)
 
 
-def test_half_repro_mode_accuracy(cfg):
+def test_half_repro_mode_accuracy(cfg, real_heatmaps):
     """'half' repro mode (8x fewer gathers) must produce volumes whose
     soft-argmax decode moves < 0.5 mm vs the exact reference numerics, on
     real pretrained heatmaps."""
-    from jarvis_hybridnet_tpu.dataset.dataset3d import Dataset3D
-    from jarvis_hybridnet_tpu.models.efficienttrack import (
-        EfficientTrackBackbone,
-    )
     from jarvis_hybridnet_tpu.models.repro import reprojection_layer
-    from jarvis_hybridnet_tpu.models.weights_io import (
-        efficienttrack_params_from_torch,
-        load_torch_state_dict,
-    )
 
-    ds = Dataset3D(cfg, set="val")
-    s = ds[0]
+    s, hm = real_heatmaps
     J = int(cfg.KEYPOINTDETECT.NUM_JOINTS)
     G = int(cfg.HYBRIDNET.ROI_CUBE_SIZE / cfg.HYBRIDNET.GRID_SPACING)
     spacing = float(cfg.HYBRIDNET.GRID_SPACING)
-
-    sd = load_torch_state_dict(
-        f"{PRETRAIN_DIR}/EfficientTrack_Keypoints-small.pth"
-    )
-    params = efficienttrack_params_from_torch(sd, "small")
-    model = EfficientTrackBackbone(model_size="small", output_channels=J)
-    _, hm = model.apply({"params": params}, s["imgs"])
-    hm = np.asarray(hm).transpose(0, 3, 1, 2)
-    hm = np.pad(hm, ((0, 0), (0, 0), (1, 1), (1, 1)))
 
     args = (
         hm[None], s["center3d"][None], s["center_hm"][None],
