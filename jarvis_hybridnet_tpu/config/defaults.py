@@ -125,5 +125,17 @@ def get_default_cfg() -> CfgNode:
     # when set, prediction drivers capture a jax.profiler trace here
     # (new observability capability; the reference has none, SURVEY.md §5)
     c.TPU.PROFILE_DIR = None
+    # two-phase streaming predict3D: CenterDetect consumes a LOWRES_FACTOR-
+    # downscaled frame ring (produced by the same decode pass) and only the
+    # detected bbox crops ship to the device at full resolution — ~9x less
+    # host->device traffic on bandwidth-limited links
+    c.TPU.TWO_PHASE = False
+    c.TPU.LOWRES_FACTOR = 4
+    # shard the camera axis of predict3D over this many chips (the repro
+    # camera-mean becomes an ICI reduction); 1 = data-parallel only
+    c.TPU.SHARD_CAMERAS = 1
+    # video decode backend for the prediction drivers: None = auto (native
+    # C++ libav pipeline when built, else cv2), or force 'native' / 'cv2'
+    c.TPU.DECODE_BACKEND = None
 
     return c

@@ -24,6 +24,12 @@ def configure(cfg, trt_mode: str) -> None:
         return
     import jax
 
+    if jax.config.jax_compilation_cache_dir:
+        # A cache dir is already configured (by the embedding application,
+        # a benchmark harness, or the test suite) — respect it. Stomping
+        # the global setting would silently split compilations across
+        # directories and defeat the existing cache.
+        return
     cache_dir = os.path.join(
         cfg.PARENT_DIR, "projects", str(cfg.PROJECT_NAME), "compiled-models"
     )

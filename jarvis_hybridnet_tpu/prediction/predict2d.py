@@ -65,13 +65,19 @@ def predict2D(params: Predict2DParams) -> str | None:
 
     mesh = None
     in_sharding = None
-    if len(jax.devices()) > 1:
+    n_dev = len(jax.devices())
+    # TPU.MESH_DATA_AXIS caps the data-parallel axis (-1 = all devices;
+    # 1 = single-device, e.g. to use an AOT artifact on a multi-chip host)
+    n_data_cap = int(cfg.get("TPU", {}).get("MESH_DATA_AXIS", -1))
+    if n_data_cap > 0:
+        n_dev = min(n_dev, n_data_cap)
+    if n_dev > 1:
         from jax.sharding import NamedSharding, PartitionSpec as PSpec
 
         from ..parallel.mesh import make_mesh
 
-        n_dev = len(jax.devices())
-        mesh = make_mesh(n_data=n_dev, n_cameras=1)
+        mesh = make_mesh(n_data=n_dev, n_cameras=1,
+                         devices=jax.devices()[:n_dev])
         batch = max(batch, n_dev) // n_dev * n_dev  # divisible by dp
         in_sharding = NamedSharding(mesh, PSpec("data"))
         clp.info(f"Sharded 2D inference over {n_dev} devices")

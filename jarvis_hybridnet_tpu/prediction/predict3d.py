@@ -238,6 +238,12 @@ def predict3D(params: Predict3DParams) -> str | None:
     # across hosts by _pod_frame_shard already, so the per-host compute
     # is fully independent and nothing rides DCN.
     devices = jax.local_devices() if pc > 1 else jax.devices()
+    # TPU.MESH_DATA_AXIS caps the data-parallel axis (-1 = all devices;
+    # 1 = single-device, e.g. to use an AOT artifact on a multi-chip host)
+    n_data_cap = int(cfg.get("TPU", {}).get("MESH_DATA_AXIS", -1))
+    if n_data_cap > 0:
+        devices = devices[:n_data_cap
+                          * int(cfg.get("TPU", {}).get("SHARD_CAMERAS", 1))]
     mesh = None
     shard_cameras = False
     if len(devices) > 1:

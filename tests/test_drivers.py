@@ -115,7 +115,11 @@ def project3d_dir(project_dir):
     cfg["KEYPOINTDETECT"]["BOUNDING_BOX_SIZE"] = 128
     cfg["HYBRIDNET"]["ROI_CUBE_SIZE"] = 64
     cfg["HYBRIDNET"]["GRID_SPACING"] = 2
-    cfg["TPU"] = {"FRAME_BATCH": 2, "INFERENCE_DTYPE": "float32"}
+    cfg["TPU"] = {"FRAME_BATCH": 2, "INFERENCE_DTYPE": "float32",
+                  # pin single-device: T stays 2 (not padded to the
+                  # 8-dev test mesh) and the AOT reload path actually
+                  # engages on the 'previous' pass
+                  "MESH_DATA_AXIS": 1}
     proj = project_dir / "projects" / "TestProj3D"
     proj.mkdir()
     with open(proj / "config.yaml", "w") as f:
