@@ -32,10 +32,36 @@ import numpy as np
 _FORK_POOL_DATASET = None
 
 
-def _fork_worker_init(dataset):
+def _reseed_forked_rngs(dataset, epoch_seed: int) -> None:
+    """Give this forked worker its own RNG streams.
+
+    Forked children inherit byte-identical copies of the parent's
+    ``np.random.Generator`` state, so without this every worker — and
+    every epoch's freshly forked pool — would draw the exact same
+    augmentation parameter sequence, silently collapsing augmentation
+    diversity by a factor of ``num_workers x epochs``. Derive a distinct
+    stream per (epoch, worker, generator attribute) from the parent-drawn
+    epoch seed and this child's pid.
+    """
+    import os
+
+    holders = [dataset, getattr(dataset, "augpipe", None)]
+    targets = [
+        (obj, name)
+        for obj in holders if obj is not None
+        for name, val in vars(obj).items()
+        if isinstance(val, np.random.Generator)
+    ]
+    seq = np.random.SeedSequence([int(epoch_seed), os.getpid()])
+    for (obj, name), child in zip(targets, seq.spawn(len(targets))):
+        setattr(obj, name, np.random.default_rng(child))
+
+
+def _fork_worker_init(dataset, epoch_seed):
     # runs in the forked child once: stash the inherited dataset
     global _FORK_POOL_DATASET
     _FORK_POOL_DATASET = dataset
+    _reseed_forked_rngs(dataset, epoch_seed)
     try:  # avoid cv2 thread oversubscription inside workers
         import cv2
 
@@ -151,9 +177,13 @@ class DataLoader:
             # jax/XLA, so the usual fork-after-backend-init hazards don't
             # apply to the worker loop
             ctx = mp.get_context("fork")
+            # a fresh seed every epoch: the parent's loader RNG advances
+            # here, so re-forked pools never replay a previous epoch's
+            # augmentation streams
+            epoch_seed = int(self.rng.integers(2**31 - 1))
             pool_proc = ctx.Pool(self.num_workers,
                                  initializer=_fork_worker_init,
-                                 initargs=(self.dataset,))
+                                 initargs=(self.dataset, epoch_seed))
 
             def produce_proc():
                 it = iter(batches)

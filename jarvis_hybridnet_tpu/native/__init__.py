@@ -208,7 +208,8 @@ class VideoPool:
     def __init__(self, paths: list[str], frame_start: int = 0,
                  number_frames: int = -1, batch_size: int = 4,
                  prefetch: int = 2, num_threads: int | None = None,
-                 lowres_factor: int | None = None):
+                 lowres_factor: int | None = None,
+                 max_buffers: int | None = None):
         lib = load_video()
         if lib is None:
             raise RuntimeError("native video decode unavailable")
@@ -218,7 +219,13 @@ class VideoPool:
             raise RuntimeError(f"could not open video: {paths[0]}")
         W, H, _ = probe
         C = len(paths)
-        n_buffers = prefetch + 1
+        # ring size follows MultiCameraReader's contract: a consumer that
+        # never recycles still receives up to max_buffers batches before
+        # the decode threads block (cv2 path grows lazily; here the ring
+        # is pre-allocated, so size it to the max up front)
+        if max_buffers is None:
+            max_buffers = prefetch + 2
+        n_buffers = max(max_buffers, prefetch + 1)
         # np.zeros, NOT np.empty: the ring is written first from the C++
         # decode threads, and first-touch faults on numpy's
         # madvise(HUGEPAGE) empty-allocated pages measured 70x slower than
@@ -261,7 +268,11 @@ class VideoPool:
         lib.jv_pool_info(self._handle, ctypes.byref(w), ctypes.byref(h),
                          ctypes.byref(n))
         self.img_size = (int(w.value), int(h.value))
-        self.number_frames = int(n.value)
+        # INT64_MAX marks "decode until EOF" (the container reported no
+        # frame count); surface that as None so progress displays show
+        # an unknown total instead of a 9-quintillion one
+        self.number_frames = (int(n.value)
+                              if n.value < 2**62 else None)
         self.batch_size = batch_size
         self._buf_index = {b.ctypes.data: i
                            for i, b in enumerate(self.buffers)}

@@ -438,8 +438,17 @@ void* jv_pool_create2(const char** paths, int32_t n_cams, int64_t frame_start,
     p->decs.push_back(d);
   }
   int64_t total = p->decs[0]->n_frames;
-  p->number_frames =
-      number_frames < 0 ? total - frame_start : number_frames;
+  if (number_frames >= 0) {
+    p->number_frames = number_frames;
+  } else if (total > 0) {
+    p->number_frames = total - frame_start;
+  } else {
+    // container reports no frame count (nb_frames=0 and no duration,
+    // e.g. some MKV/raw streams): decode until EOF — the worker loop
+    // exits on stream exhaustion and the emitter flags the partial
+    // final batch, so an unbounded limit terminates correctly
+    p->number_frames = INT64_MAX;
+  }
   for (int32_t i = 0; i < n_buffers; ++i) {
     p->buffers.push_back(buffers[i]);
     p->free_bufs.push_back(i);

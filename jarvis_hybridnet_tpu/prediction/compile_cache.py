@@ -18,17 +18,24 @@ from __future__ import annotations
 
 import os
 
+# The cache dir this module last configured. Distinguishes "set by us for
+# a (possibly different) project" — safe to re-point on a project switch —
+# from "set externally" (embedding app, bench harness, test suite), which
+# must be respected.
+_configured_dir: str | None = None
+
 
 def configure(cfg, trt_mode: str) -> None:
+    global _configured_dir
     if trt_mode not in ("new", "previous"):
         return
     import jax
 
-    if jax.config.jax_compilation_cache_dir:
-        # A cache dir is already configured (by the embedding application,
-        # a benchmark harness, or the test suite) — respect it. Stomping
-        # the global setting would silently split compilations across
-        # directories and defeat the existing cache.
+    current = jax.config.jax_compilation_cache_dir
+    if current and current != _configured_dir:
+        # A cache dir was configured by someone else — respect it.
+        # Stomping the global setting would silently split compilations
+        # across directories and defeat the existing cache.
         return
     cache_dir = os.path.join(
         cfg.PARENT_DIR, "projects", str(cfg.PROJECT_NAME), "compiled-models"
@@ -37,3 +44,4 @@ def configure(cfg, trt_mode: str) -> None:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    _configured_dir = cache_dir

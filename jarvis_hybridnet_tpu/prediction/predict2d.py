@@ -154,7 +154,7 @@ def _drain2d(writer, pending, num_joints, bar, params, done, total):
     for t in range(n):
         _write_row(writer, points[t], conf[t], valid[t], num_joints)
     bar.update(n)
-    if params.progress_bar is not None:
+    if params.progress_bar is not None and total:
         params.progress_bar.progress(min(1.0, (done + n) / total))
     return n
 

@@ -54,7 +54,14 @@ def _pod_frame_shard(params, probe_path):
 
     number_frames = params.number_frames
     if number_frames == -1:
-        number_frames = probe_frame_count(probe_path) - params.frame_start
+        total = probe_frame_count(probe_path)
+        if total <= 0:
+            raise ValueError(
+                "Pod-sharded prediction needs a total frame count to "
+                "split, but the container reports none — pass "
+                "number_frames explicitly."
+            )
+        number_frames = total - params.frame_start
     lo, hi = process_frame_range(number_frames, pi, pc)
     return params.frame_start + lo, hi - lo, f".part{pi:05d}", pi, pc
 
@@ -101,8 +108,88 @@ def _drain(writer, pending, num_joints, bar, params, done, total):
         _write_row(writer, points[t], conf[t], valid[t], num_joints,
                    with_z=True)
     bar.update(n)
-    if params.progress_bar is not None:
+    if params.progress_bar is not None and total:
         params.progress_bar.progress(min(1.0, (done + n) / total))
+
+
+def _plan_inference_devices(all_devices, n_data_cap, n_cam, num_cameras):
+    """Pick the device slice and camera-shard factor for the 3D driver.
+
+    ``TPU.MESH_DATA_AXIS`` (``n_data_cap``) caps the data-parallel axis
+    (-1 = all devices; 1 = single-device, e.g. to use an AOT artifact on
+    a multi-chip host). Camera-sharding feasibility is decided BEFORE
+    slicing so an infeasible ``TPU.SHARD_CAMERAS`` cannot leak its factor
+    into the data axis (MESH_DATA_AXIS=1 must stay single-device).
+    Returns ``(devices, n_cam)`` with ``n_cam == 1`` when camera sharding
+    is off; ``len(devices)`` is always divisible by ``n_cam``.
+    """
+    if n_cam > 1 and num_cameras % n_cam != 0:
+        n_cam = 1
+    devices = (all_devices[:n_data_cap * n_cam] if n_data_cap > 0
+               else all_devices)
+    if n_cam > 1 and len(devices) % n_cam != 0:
+        # not enough devices for whole camera groups: drop camera sharding
+        n_cam = 1
+        devices = (all_devices[:n_data_cap] if n_data_cap > 0
+                   else all_devices)
+    return devices, n_cam
+
+
+def _stream_rows(params, cfg, reader, steps, shard_suffix, pi, pc):
+    """Shared streaming tail of both 3D drivers: write each batch's rows
+    to the (possibly pod-sharded) ``data3D.csv``, keep a one-deep pending
+    slot so CSV writing / ring recycling overlap the device call already
+    dispatched for the next batch, then sync and rank-0-merge pod shards.
+
+    ``steps`` yields ``(outputs, n, ring_buffer)`` — the caller dispatches
+    its device work inside the generator, before the previous batch is
+    drained here.
+    """
+    import jax
+
+    num_joints = int(cfg.KEYPOINTDETECT.NUM_JOINTS)
+
+    def write_header(writer):
+        if len(cfg.KEYPOINT_NAMES) == num_joints:
+            _write_header(writer, cfg, per_joint=("x", "y", "z",
+                                                  "confidence"))
+
+    with open(os.path.join(params.output_dir, f"data3D.csv{shard_suffix}"),
+              "w", newline="") as csvfile:
+        writer = csv.writer(csvfile, delimiter=",", quotechar='"',
+                            quoting=csv.QUOTE_MINIMAL)
+        if not shard_suffix:
+            write_header(writer)
+        # pod shards carry no header — the rank-0 merge writes it once
+        done = 0
+        bar = tqdm(total=reader.number_frames)
+        pending = None  # (outputs, n, ring buffer)
+        for item in steps:
+            if pending is not None:
+                _drain(writer, pending[:2], num_joints, bar, params,
+                       done, reader.number_frames)
+                done += pending[1]
+                # results fetched -> the batch's H2D transfer is long
+                # done; hand the ring buffer back to the decode threads
+                reader.recycle(pending[2])
+            pending = item
+        if pending is not None:
+            _drain(writer, pending[:2], num_joints, bar, params,
+                   done, reader.number_frames)
+            reader.recycle(pending[2])
+        bar.close()
+    reader.release()
+
+    if shard_suffix:
+        if jax.process_count() > 1:
+            # real pod: wait for every host's shard before merging
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("predict3D_shards")
+        if pi == 0 and getattr(params, "merge_shards", True):
+            _merge_pod_shards(params.output_dir, "data3D.csv", pc,
+                              write_header)
+    return params.output_dir
 
 
 def _predict3d_twophase(params, cfg, rig, video_paths, frame_start,
@@ -129,50 +216,15 @@ def _predict3d_twophase(params, cfg, rig, video_paths, frame_start,
         lowres_factor=factor,
     )
 
-    num_joints = int(cfg.KEYPOINTDETECT.NUM_JOINTS)
-
-    def write_header(writer):
-        if len(cfg.KEYPOINT_NAMES) == num_joints:
-            _write_header(writer, cfg, per_joint=("x", "y", "z",
-                                                  "confidence"))
-
-    with open(os.path.join(params.output_dir, f"data3D.csv{shard_suffix}"),
-              "w", newline="") as csvfile:
-        writer = csv.writer(csvfile, delimiter=",", quotechar='"',
-                            quoting=csv.QUOTE_MINIMAL)
-        if not shard_suffix:
-            write_header(writer)
-        done = 0
-        bar = tqdm(total=reader.number_frames)
-        pending = None  # ((pts, conf, valid), n, full buffer)
+    def steps():
         for full, low, n in iter(reader._pool):
             cx, cy, c3d, valid = phase_a(jax.device_put(low))
             # tiny D2H sync: the host needs the crop centers to slice
             crops = crop_fn(full, np.asarray(cx), np.asarray(cy))
             pts, conf = phase_b(jax.device_put(crops), cx, cy, c3d)
-            if pending is not None:
-                _drain(writer, pending[:2], num_joints, bar, params,
-                       done, reader.number_frames)
-                done += pending[1]
-                reader.recycle(pending[2])
-            pending = ((pts, conf, valid), n, full)
-        if pending is not None:
-            _drain(writer, pending[:2], num_joints, bar, params,
-                   done, reader.number_frames)
-            done += pending[1]
-            reader.recycle(pending[2])
-        bar.close()
-    reader.release()
+            yield (pts, conf, valid), n, full
 
-    if shard_suffix:
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-
-            multihost_utils.sync_global_devices("predict3D_shards")
-        if pi == 0 and getattr(params, "merge_shards", True):
-            _merge_pod_shards(params.output_dir, "data3D.csv", pc,
-                              write_header)
-    return params.output_dir
+    return _stream_rows(params, cfg, reader, steps(), shard_suffix, pi, pc)
 
 
 def predict3D(params: Predict3DParams) -> str | None:
@@ -237,30 +289,27 @@ def predict3D(params: Predict3DParams) -> str | None:
     # process meshes only its LOCAL chips: the time axis is sharded
     # across hosts by _pod_frame_shard already, so the per-host compute
     # is fully independent and nothing rides DCN.
-    devices = jax.local_devices() if pc > 1 else jax.devices()
-    # TPU.MESH_DATA_AXIS caps the data-parallel axis (-1 = all devices;
-    # 1 = single-device, e.g. to use an AOT artifact on a multi-chip host)
-    n_data_cap = int(cfg.get("TPU", {}).get("MESH_DATA_AXIS", -1))
-    if n_data_cap > 0:
-        devices = devices[:n_data_cap
-                          * int(cfg.get("TPU", {}).get("SHARD_CAMERAS", 1))]
+    all_devices = jax.local_devices() if pc > 1 else jax.devices()
+    devices, n_cam = _plan_inference_devices(
+        all_devices,
+        n_data_cap=int(cfg.get("TPU", {}).get("MESH_DATA_AXIS", -1)),
+        n_cam=int(cfg.get("TPU", {}).get("SHARD_CAMERAS", 1)),
+        num_cameras=rig.num_cameras,
+    )
     mesh = None
-    shard_cameras = False
+    shard_cameras = n_cam > 1
     if len(devices) > 1:
         from ..parallel.mesh import make_mesh
 
-        n_cam = int(cfg.get("TPU", {}).get("SHARD_CAMERAS", 1))
         n_dev = len(devices)
-        if n_cam > 1 and n_dev % n_cam == 0 and rig.num_cameras % n_cam == 0:
-            mesh = make_mesh(n_data=n_dev // n_cam, n_cameras=n_cam,
-                             devices=devices)
-            shard_cameras = True
-        else:
-            mesh = make_mesh(n_data=n_dev, n_cameras=1, devices=devices)
+        mesh = make_mesh(n_data=n_dev // n_cam, n_cameras=n_cam,
+                         devices=devices)
         n_data = mesh.shape["data"]
         batch = max(batch, n_data) // n_data * n_data  # divisible by dp
         clp.info(f"Sharded inference over {n_dev} devices "
                  f"(data={n_data}, cameras={mesh.shape['cameras']})")
+    else:
+        shard_cameras = False
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as PSpec
@@ -308,57 +357,17 @@ def predict3D(params: Predict3DParams) -> str | None:
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
-    num_joints = int(cfg.KEYPOINTDETECT.NUM_JOINTS)
-
-    def write_header(writer):
-        if len(cfg.KEYPOINT_NAMES) == num_joints:
-            _write_header(writer, cfg, per_joint=("x", "y", "z",
-                                                  "confidence"))
-
-    with open(os.path.join(params.output_dir, f"data3D.csv{shard_suffix}"),
-              "w", newline="") as csvfile:
-        writer = csv.writer(csvfile, delimiter=",", quotechar='"',
-                            quoting=csv.QUOTE_MINIMAL)
-        if not shard_suffix:
-            write_header(writer)
-        # pod shards carry no header — the rank-0 merge writes it once
-
-        done = 0
-        bar = tqdm(total=reader.number_frames)
+    def steps():
         # one-deep device pipeline: upload batch k+1 and dispatch its
-        # predictor call (async) before fetching batch k's results, so
-        # host->device transfer and TPU compute overlap
-        pending = None  # (outputs, n, host buffer)
+        # predictor call (async) before batch k's results are drained by
+        # _stream_rows, so host->device transfer and TPU compute overlap
         for frames, n in reader:
             dev_frames = (jax.device_put(frames, in_sharding)
                           if in_sharding is not None
                           else jax.device_put(frames))
-            outputs = predictor(dev_frames)
-            if pending is not None:
-                _drain(writer, pending[:2], num_joints, bar, params,
-                       done, reader.number_frames)
-                done += pending[1]
-                # results fetched -> the batch's H2D transfer is long done;
-                # hand the ring buffer back to the decode threads
-                reader.recycle(pending[2])
-            pending = (outputs, n, frames)
-        if pending is not None:
-            _drain(writer, pending[:2], num_joints, bar, params,
-                   done, reader.number_frames)
-            done += pending[1]
-            reader.recycle(pending[2])
-        bar.close()
-    reader.release()
+            yield predictor(dev_frames), n, frames
+
+    out = _stream_rows(params, cfg, reader, steps(), shard_suffix, pi, pc)
     if profile_dir:
         jax.profiler.stop_trace()
-
-    if shard_suffix:
-        if jax.process_count() > 1:
-            # real pod: wait for every host's shard before merging
-            from jax.experimental import multihost_utils
-
-            multihost_utils.sync_global_devices("predict3D_shards")
-        if pi == 0 and getattr(params, "merge_shards", True):
-            _merge_pod_shards(params.output_dir, "data3D.csv", pc,
-                              write_header)
-    return params.output_dir
+    return out

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import queue
+import sys
 import threading
 
 import numpy as np
@@ -106,13 +107,17 @@ class MultiCameraReader:
         self.img_size = img_size
         total = int(self.caps[0].get(cv2.CAP_PROP_FRAME_COUNT))
         if number_frames == -1:
-            number_frames = total - frame_start
-        else:
+            # containers without a frame count report 0: decode until the
+            # streams exhaust instead of silently yielding nothing
+            number_frames = total - frame_start if total > 0 else None
+        elif total > 0:
             assert frame_start + number_frames <= total, (
                 "make sure your selected segment is not longer than the "
                 "total video!"
             )
         self.number_frames = number_frames
+        self._limit = (sys.maxsize if number_frames is None
+                       else number_frames)
         self.batch_size = batch_size
 
         C = len(self.caps)
@@ -168,7 +173,7 @@ class MultiCameraReader:
         still read strictly sequentially)."""
         T = self.batch_size
         live = list(cams)
-        for f in range(self.number_frames):
+        for f in range(self._limit):
             if not live:
                 break
             buf = self._buffer_for(f // T)
@@ -201,7 +206,7 @@ class MultiCameraReader:
         T = self.batch_size
         b = 0
         while True:
-            end = min((b + 1) * T, self.number_frames)
+            end = min((b + 1) * T, self._limit)
             with self._lock:
                 while True:
                     lo, done = self._min_progress(self._progress)
@@ -221,7 +226,7 @@ class MultiCameraReader:
             self._queue.put((buf, n))
             if done and lo < (b + 1) * T:
                 break
-            if end >= self.number_frames:
+            if end >= self._limit:
                 break
             b += 1
         self._queue.put(None)
@@ -285,13 +290,16 @@ class NativeMultiCameraReader:
         prefetch: int = 2,
         num_threads: int | None = None,
         lowres_factor: int | None = None,
-        **_ignored,
+        max_buffers: int | None = None,
     ):
         from .. import native
 
         if number_frames != -1:
             probe = native.probe_video(video_paths[0])
-            assert probe and frame_start + number_frames <= probe[2], (
+            # probe[2] == 0 means the container reports no frame count;
+            # an explicit segment request is then taken on faith
+            assert probe and (probe[2] <= 0
+                              or frame_start + number_frames <= probe[2]), (
                 "make sure your selected segment is not longer than the "
                 "total video!"
             )
@@ -299,7 +307,7 @@ class NativeMultiCameraReader:
             video_paths, frame_start=frame_start,
             number_frames=number_frames, batch_size=batch_size,
             prefetch=prefetch, num_threads=num_threads,
-            lowres_factor=lowres_factor,
+            lowres_factor=lowres_factor, max_buffers=max_buffers,
         )
         self.img_size = self._pool.img_size
         self.number_frames = self._pool.number_frames

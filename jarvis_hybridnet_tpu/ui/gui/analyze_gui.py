@@ -22,29 +22,6 @@ def _latest_analysis_dir(cfg):
     return runs[0] if runs else None
 
 
-def _camera_names(cfg):
-    """Camera names discovered from the dataset's calibration tree
-    (reference: jarvis/ui/gui/analyze_gui.py:35-47 lists
-    calib_params/<first session>/)."""
-    dataset_name = cfg.DATASET.DATASET_3D
-    if not dataset_name:
-        return []
-    if os.path.isabs(dataset_name):
-        root = dataset_name
-    else:
-        root = os.path.join(cfg.PARENT_DIR, cfg.DATASET.DATASET_ROOT_DIR,
-                            dataset_name)
-    calib_root = os.path.join(root, "calib_params")
-    try:
-        session = sorted(os.listdir(calib_root))[0]
-        return sorted(
-            os.path.splitext(f)[0]
-            for f in os.listdir(os.path.join(calib_root, session))
-        )
-    except (OSError, IndexError):
-        return []
-
-
 def analyze_gui(project, cfg):
     st.header("Validation analysis")
     col1, col2 = st.columns(2)
@@ -54,13 +31,19 @@ def analyze_gui(project, cfg):
     with col2:
         weights_hybridnet = st.text_input("HybridNet weights:",
                                           value="latest")
-    camera_names = _camera_names(cfg)
+    from ...utils.calibration import discover_camera_names
+
+    camera_names = discover_camera_names(cfg)
     cameras_to_use = st.multiselect(
         "Select cameras to use for analysis",
         options=camera_names, default=camera_names)
     if st.button("Analyze validation data"):
         from ...analysis.analyze import analyze_validation_data
 
+        if camera_names and not cameras_to_use:
+            st.error("Select at least one camera (or all, to use every "
+                     "camera).")
+            return
         bar = st.progress(0)
         use = (cameras_to_use
                if camera_names and len(cameras_to_use) < len(camera_names)

@@ -398,18 +398,10 @@ def _pick_cameras_subset(cfg):
     if _menu("Use only a subset of available cameras?",
              ["No", "Yes"]) != "Yes":
         return None
-    dataset_name = cfg.DATASET.DATASET_3D
-    if os.path.isabs(dataset_name):
-        calib_root = os.path.join(dataset_name, "calib_params")
-    else:
-        calib_root = os.path.join(cfg.PARENT_DIR,
-                                  cfg.DATASET.DATASET_ROOT_DIR,
-                                  dataset_name, "calib_params")
-    try:
-        session = sorted(os.listdir(calib_root))[0]
-        names = sorted(os.path.splitext(f)[0] for f in
-                       os.listdir(os.path.join(calib_root, session)))
-    except (OSError, IndexError):
+    from ..utils.calibration import discover_camera_names
+
+    names = discover_camera_names(cfg)
+    if not names:
         clp.warning("Could not list calibration cameras; using all.")
         return None
     chosen = []

@@ -146,6 +146,35 @@ class CameraRig:
         return [c.name for c in self.camera_list]
 
 
+def discover_camera_names(cfg) -> list[str]:
+    """Camera names found in the 3D dataset's calibration tree.
+
+    Lists ``<dataset>/calib_params/<first session>/`` and strips the
+    calibration-file extensions (reference:
+    jarvis/ui/gui/analyze_gui.py:35-47 and
+    jarvis/ui/interactive_cli/analyze_cli.py:71-88, which each re-derive
+    this). Returns ``[]`` when no 3D dataset is configured or the tree
+    is missing/empty.
+    """
+    dataset_name = cfg.DATASET.DATASET_3D
+    if not dataset_name:
+        return []
+    if os.path.isabs(dataset_name):
+        root = dataset_name
+    else:
+        root = os.path.join(cfg.PARENT_DIR, cfg.DATASET.DATASET_ROOT_DIR,
+                            dataset_name)
+    calib_root = os.path.join(root, "calib_params")
+    try:
+        session = sorted(os.listdir(calib_root))[0]
+        return sorted(
+            os.path.splitext(f)[0]
+            for f in os.listdir(os.path.join(calib_root, session))
+        )
+    except (OSError, IndexError):
+        return []
+
+
 def load_camera_rigs(
     dataset_dir: str,
     cameras_to_use: list[str] | None = None,

@@ -158,3 +158,37 @@ def test_loader_process_workers_propagate_errors():
         for _ in DataLoader(Bad(), batch_size=4, num_workers=2,
                             worker_mode="process"):
             pass
+
+
+def test_loader_process_workers_distinct_rng():
+    """Forked workers must draw DISTINCT augmentation streams, and a
+    re-forked pool (next epoch) must not replay them (review r3 finding:
+    fork inherits byte-identical RNG state)."""
+    from jarvis_hybridnet_tpu.dataset.loader import DataLoader
+
+    class Aug:
+        def __init__(self):
+            self.rng = np.random.default_rng(7)
+
+    class DS:
+        def __init__(self):
+            self.rng = np.random.default_rng(7)
+            self.augpipe = Aug()
+
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return np.array([self.rng.random(),
+                             self.augpipe.rng.random()], np.float64)
+
+    dl = DataLoader(DS(), batch_size=4, num_workers=2,
+                    worker_mode="process")
+    epoch1 = np.concatenate([b for b in dl])
+    epoch2 = np.concatenate([b for b in dl])
+    # distinct streams per worker: the two batches (one per worker) must
+    # not be identical draws
+    b1, b2 = epoch1[:4], epoch1[4:]
+    assert not np.allclose(b1, b2)
+    # distinct streams per epoch: the re-forked pool must not replay
+    assert not np.allclose(epoch1, epoch2)

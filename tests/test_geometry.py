@@ -151,3 +151,15 @@ def test_host_dlt_matches_jax_dlt(rig):
     )
     assert np.linalg.norm(host - pt) < 0.1
     assert np.linalg.norm(dev - host) < 0.5
+
+
+def test_discover_camera_names_no_dataset():
+    """No 3D dataset configured (DATASET_3D=None, the default) must give
+    an empty list, not a TypeError (review r3 finding: the interactive
+    CLI's duplicated copy crashed on os.path.isabs(None))."""
+    from types import SimpleNamespace
+
+    from jarvis_hybridnet_tpu.utils.calibration import discover_camera_names
+
+    cfg = SimpleNamespace(DATASET=SimpleNamespace(DATASET_3D=None))
+    assert discover_camera_names(cfg) == []

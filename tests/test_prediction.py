@@ -1,6 +1,8 @@
 """Prediction-path tests: resize numerics, fused 2D cascade on real frames,
 and the geometric 3D voxel pipeline with real pretrained heatmaps."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -220,3 +222,71 @@ def test_half_repro_mode_accuracy(cfg, real_heatmaps):
     qshift = np.linalg.norm(
         decode_half(vol_quarter) - decode_half(vol_half_native), axis=-1)
     assert qshift.max() < 2.0, qshift
+
+
+def test_plan_inference_devices():
+    """TPU.MESH_DATA_AXIS must cap the data axis even when an infeasible
+    TPU.SHARD_CAMERAS is rejected (review r3 finding: the camera factor
+    leaked into the data axis and broke the MESH_DATA_AXIS=1 ->
+    single-device AOT contract)."""
+    from jarvis_hybridnet_tpu.prediction.predict3d import (
+        _plan_inference_devices,
+    )
+
+    devs = list(range(8))  # stand-ins for jax devices
+    # infeasible camera sharding (12 % 5 != 0) with a cap of 1: must
+    # stay single-device, not keep 5 devices on the data axis
+    d, n_cam = _plan_inference_devices(devs, n_data_cap=1, n_cam=5,
+                                       num_cameras=12)
+    assert len(d) == 1 and n_cam == 1
+    # feasible camera sharding with a cap: cap * n_cam devices
+    d, n_cam = _plan_inference_devices(devs, n_data_cap=2, n_cam=2,
+                                       num_cameras=12)
+    assert len(d) == 4 and n_cam == 2
+    # uncapped, feasible
+    d, n_cam = _plan_inference_devices(devs, n_data_cap=-1, n_cam=2,
+                                       num_cameras=12)
+    assert len(d) == 8 and n_cam == 2
+    # uncapped, device count not divisible by n_cam: drop camera sharding
+    d, n_cam = _plan_inference_devices(devs[:6], n_data_cap=-1, n_cam=4,
+                                       num_cameras=12)
+    assert len(d) == 6 and n_cam == 1
+    # cap larger than the host: everything stays on the data axis
+    d, n_cam = _plan_inference_devices(devs, n_data_cap=16, n_cam=1,
+                                       num_cameras=12)
+    assert len(d) == 8 and n_cam == 1
+
+
+def test_compile_cache_follows_project_switch(tmp_path, monkeypatch):
+    """Switching projects in one process must re-point the compilation
+    cache to the new project's dir (review r3 finding) — while still
+    respecting an externally configured dir."""
+    import jax
+
+    from jarvis_hybridnet_tpu.prediction import compile_cache
+
+    class Cfg:
+        def __init__(self, parent, name):
+            self.PARENT_DIR = str(parent)
+            self.PROJECT_NAME = name
+
+    prev = jax.config.jax_compilation_cache_dir
+    monkeypatch.setattr(compile_cache, "_configured_dir", None)
+    try:
+        # external setting is respected
+        jax.config.update("jax_compilation_cache_dir", str(tmp_path / "ext"))
+        compile_cache.configure(Cfg(tmp_path, "A"), "new")
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "ext")
+
+        # from unset: configure project A, then switch to B
+        jax.config.update("jax_compilation_cache_dir", None)
+        compile_cache.configure(Cfg(tmp_path, "A"), "new")
+        a_dir = os.path.join(str(tmp_path), "projects", "A",
+                             "compiled-models")
+        assert jax.config.jax_compilation_cache_dir == a_dir
+        compile_cache.configure(Cfg(tmp_path, "B"), "new")
+        b_dir = os.path.join(str(tmp_path), "projects", "B",
+                             "compiled-models")
+        assert jax.config.jax_compilation_cache_dir == b_dir
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

@@ -176,3 +176,85 @@ def test_reader_factory_prefers_native(videos):
     r = open_multi_camera_reader(videos, backend="cv2", batch_size=2)
     assert isinstance(r, MultiCameraReader)
     r.release()
+
+
+def test_cv2_unknown_frame_count_decodes_to_eof(videos, monkeypatch):
+    """Containers reporting no frame count (CAP_PROP_FRAME_COUNT == 0,
+    e.g. some MKV/raw streams) must decode until the streams exhaust —
+    not silently yield nothing (review r3 finding)."""
+    real = cv2.VideoCapture
+
+    class NoCount:  # wraps (not subclasses) the pybind capture object
+        def __init__(self, path):
+            self._cap = real(path)
+
+        def get(self, prop):
+            if prop == cv2.CAP_PROP_FRAME_COUNT:
+                return 0.0
+            return self._cap.get(prop)
+
+        def __getattr__(self, name):
+            return getattr(self._cap, name)
+
+    monkeypatch.setattr(cv2, "VideoCapture", NoCount)
+    reader = MultiCameraReader(videos, batch_size=4, num_threads=2)
+    assert reader.number_frames is None  # honestly unknown
+    seen = 0
+    for batch, n in reader:
+        seen += n
+        reader.recycle(batch)
+    assert seen == N
+    reader.release()
+
+
+@needs_native_video
+def test_native_unknown_frame_count_decodes_to_eof(tmp_path):
+    """Raw MJPEG streams have no container frame count: the native pool
+    must decode to EOF and report number_frames as unknown."""
+    from jarvis_hybridnet_tpu.prediction.video_io import (
+        NativeMultiCameraReader,
+    )
+
+    paths = []
+    for c in range(2):
+        p = str(tmp_path / f"Camera_{c}.mjpeg")
+        with open(p, "wb") as f:
+            for fr in range(N):
+                img = np.full((H, W, 3), _marker(c, fr), np.uint8)
+                ok, buf = cv2.imencode(".jpg", img)
+                assert ok
+                f.write(buf.tobytes())
+        paths.append(p)
+    probe = native.probe_video(paths[0])
+    if probe is None:
+        pytest.skip("libav cannot open raw mjpeg here")
+    reader = NativeMultiCameraReader(paths, batch_size=4, num_threads=2)
+    assert reader.number_frames is None
+    seen = 0
+    for batch, n in reader:
+        for t in range(n):
+            for c in range(2):
+                val = int(batch[t, c, H // 2, W // 2, 0])
+                assert abs(val - _marker(c, seen + t)) <= 6
+        seen += n
+        reader.recycle(batch)
+    assert seen == N
+    reader.release()
+
+
+@needs_native_video
+def test_native_honors_max_buffers(videos):
+    """max_buffers sizes the pre-allocated native ring (the cv2 reader's
+    never-recycles contract), instead of being silently swallowed."""
+    from jarvis_hybridnet_tpu.prediction.video_io import (
+        NativeMultiCameraReader,
+    )
+
+    reader = NativeMultiCameraReader(videos, batch_size=4, prefetch=2,
+                                     max_buffers=5)
+    assert len(reader._pool.buffers) == 5
+    held = []
+    for batch, n in reader:  # never recycle mid-stream
+        held.append(batch)
+    assert sum(1 for _ in held) >= 1
+    reader.release()
