@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--peak-tflops", type=float, default=197.0)
     ap.add_argument("--peak-gbs", type=float, default=819.0)
+    ap.add_argument("--dtype", default=None,
+                    choices=["float32", "bfloat16"],
+                    help="override TPU.TRAIN_DTYPE (the trainers' mixed-"
+                         "precision knob: bf16 compute, f32 params)")
     args = ap.parse_args()
 
     import jax
@@ -76,12 +80,19 @@ def main():
         "distortions": rep(sample["distortions"]),
     }
 
+    import jax.numpy as jnp
+
+    if args.dtype:
+        cfg.TPU.TRAIN_DTYPE = args.dtype
+    train_dtype = str(cfg.TPU.get("TRAIN_DTYPE", "float32"))
     model = HybridNetBackbone(
         num_joints=int(cfg.KEYPOINTDETECT.NUM_JOINTS),
         model_size=cfg.KEYPOINTDETECT.MODEL_SIZE,
         roi_cube_size=int(cfg.HYBRIDNET.ROI_CUBE_SIZE),
         grid_spacing=int(cfg.HYBRIDNET.GRID_SPACING),
         repro_mode=str(cfg.TPU.REPRO_MODE),
+        dtype=(jnp.bfloat16 if train_dtype == "bfloat16"
+               else jnp.float32),
     )
     params = init_hybridnet_params(cfg, seed=3)
     params["effTrack"] = checkpoints.load_efficienttrack_params(
