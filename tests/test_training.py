@@ -3,6 +3,7 @@
 import os
 import shutil
 
+import jax
 import numpy as np
 import pytest
 
@@ -206,3 +207,31 @@ def test_trainer3d_freeze_modes(project):
         )
     )
     assert changed
+
+
+def test_trainer2d_bf16_mixed_precision(project):
+    """TPU.TRAIN_DTYPE=bfloat16: compute runs in bf16 but params (and the
+    checkpoints built from them) stay float32 — the mixed-precision
+    contract. One epoch must produce a finite loss."""
+    import jax.numpy as jnp
+
+    from jarvis_hybridnet_tpu.dataset.dataset2d import Dataset2D
+    from jarvis_hybridnet_tpu.training.trainer2d import EfficientTrackTrainer
+
+    cfg = project.get_cfg()
+    cfg.CENTERDETECT.IMAGE_SIZE = 128
+    cfg.CENTERDETECT.BATCH_SIZE = 2
+    cfg.TPU.TRAIN_DTYPE = "bfloat16"
+
+    train_set = Dataset2D(cfg, set="val", mode="CenterDetect")
+    train_set.image_ids = train_set.image_ids[:4]
+    val_set = Dataset2D(cfg, set="val", mode="CenterDetect")
+    val_set.image_ids = val_set.image_ids[:2]
+
+    trainer = EfficientTrackTrainer("CenterDetect", cfg, weights=None,
+                                    run_name="TestRunBf16")
+    assert trainer.model.dtype == jnp.bfloat16
+    results = trainer.train(train_set, val_set, num_epochs=1)
+    assert np.isfinite(results["train_loss"])
+    leaves = jax.tree_util.tree_leaves(trainer.params)
+    assert all(leaf.dtype == jnp.float32 for leaf in leaves)
