@@ -170,3 +170,29 @@ def test_analysis_page_camera_multiselect(gui_project, monkeypatch):
     labels = [v for k, v in fake.log if k == "multiselect"]
     assert any("cameras" in (l or "") for l in labels)
     assert seen["cameras"] == ["Camera_B", "Camera_LBB"]
+
+
+def test_analysis_page_rejects_empty_camera_selection(gui_project,
+                                                      monkeypatch):
+    """Clearing the camera multiselect must error cleanly instead of
+    building a 0-camera rig (review r3 finding)."""
+    called = {}
+
+    from jarvis_hybridnet_tpu.analysis import analyze as analyze_mod
+
+    def fake_analyze(*a, **k):
+        called["yes"] = True
+        return "/tmp/out"
+
+    monkeypatch.setattr(analyze_mod, "analyze_validation_data",
+                        fake_analyze)
+    fake = fake_streamlit.install({
+        "Menu": "Analysis",
+        "Project": gui_project,
+        "Select cameras to use for analysis": [],
+        "Analyze validation data": True,
+    })
+    _main(fake)
+    assert "yes" not in called
+    assert any("at least one camera" in str(a)
+               for a in fake.calls("error"))
