@@ -175,3 +175,17 @@ def test_analyze_cameras_subset(monkeypatch, tmp_path, reference_dir):
     _script(monkeypatch, ["2", "1"] + ["2"] * 11)
     subset = interactive_cli._pick_cameras_subset(cfg)
     assert subset is not None and len(subset) == 1
+
+
+def test_analyze_cameras_subset_no_dataset(monkeypatch, tmp_path, capsys):
+    """DATASET_3D=None (the default): the picker must warn and fall back
+    to all cameras instead of crashing in os.path.isabs(None)
+    (review r3 finding)."""
+    from jarvis_hybridnet_tpu.config.defaults import get_default_cfg
+
+    cfg = get_default_cfg()
+    cfg.PARENT_DIR = str(tmp_path)
+    assert cfg.DATASET.DATASET_3D is None
+    _script(monkeypatch, ["2"])  # opt into subsetting
+    assert interactive_cli._pick_cameras_subset(cfg) is None
+    assert "using all" in capsys.readouterr().out
