@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..utils.rng import ThreadLocalGenerator
+
 try:
     import cv2
 except ImportError:  # pragma: no cover
@@ -24,7 +26,8 @@ class AugmentationPipeline:
         self.cfg = aug_cfg
         self.mirror = mirror
         self.affine = affine
-        self.rng = np.random.default_rng(seed)
+        # per-thread streams: thread-pool loader workers draw concurrently
+        self.rng = ThreadLocalGenerator(seed)
 
     def _color(self, img: np.ndarray) -> np.ndarray:
         cm = self.cfg.COLOR_MANIPULATION

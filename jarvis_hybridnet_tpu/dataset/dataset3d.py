@@ -18,6 +18,7 @@ import numpy as np
 from ..ops.heatmap import gaussian_heatmaps_3d
 from ..utils.calibration import CameraRig
 from ..utils.reprojection import triangulate_dlt_numpy
+from ..utils.rng import ThreadLocalGenerator
 from .augmentation import AugmentationPipeline
 from .base import BaseDataset
 
@@ -93,7 +94,7 @@ class Dataset3D(BaseDataset):
         self.augpipe = AugmentationPipeline(
             cfg.AUGMENTATION, mirror=False, affine=False
         )
-        self.rng = np.random.default_rng()
+        self.rng = ThreadLocalGenerator()
 
     def __len__(self):
         return len(self.frameset_keys)

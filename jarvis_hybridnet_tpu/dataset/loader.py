@@ -45,16 +45,21 @@ def _reseed_forked_rngs(dataset, epoch_seed: int) -> None:
     """
     import os
 
+    from ..utils.rng import ThreadLocalGenerator
+
     holders = [dataset, getattr(dataset, "augpipe", None)]
     targets = [
-        (obj, name)
+        (obj, name, val)
         for obj in holders if obj is not None
         for name, val in vars(obj).items()
-        if isinstance(val, np.random.Generator)
+        if isinstance(val, (np.random.Generator, ThreadLocalGenerator))
     ]
     seq = np.random.SeedSequence([int(epoch_seed), os.getpid()])
-    for (obj, name), child in zip(targets, seq.spawn(len(targets))):
-        setattr(obj, name, np.random.default_rng(child))
+    for (obj, name, val), child in zip(targets, seq.spawn(len(targets))):
+        if isinstance(val, ThreadLocalGenerator):
+            val.reseed(child)
+        else:
+            setattr(obj, name, np.random.default_rng(child))
 
 
 def _fork_worker_init(dataset, epoch_seed):

@@ -324,7 +324,27 @@ static void pool_worker(JvPool* p, std::vector<int32_t> cams) {
   const size_t low_frame = static_cast<size_t>(p->LH) * p->LW * 3;
   const size_t low_slot = static_cast<size_t>(p->C) * low_frame;
   std::vector<int32_t> live = cams;
+  // Unknown-length streams (number_frames == INT64_MAX): probe EOF with
+  // decoder_fetch (decodes into the pending slot, consumed by the later
+  // decoder_read2) BEFORE claiming each new batch's ring buffer —
+  // otherwise discovering EOF requires acquiring a buffer for a phantom
+  // batch, which blocks forever when the consumer holds the whole ring.
+  const bool probe_eof = p->number_frames == INT64_MAX;
   for (int64_t f = 0; f < p->number_frames && !live.empty(); ++f) {
+    if (probe_eof && f % p->T == 0) {
+      for (size_t k = 0; k < live.size();) {
+        const int32_t c = live[k];
+        if (decoder_fetch(p->decs[c]) != 0) {
+          std::lock_guard<std::mutex> lk(p->mu);
+          p->progress[c] = -p->progress[c] - 1;  // mark done
+          live.erase(live.begin() + k);
+          p->cv.notify_all();
+          continue;
+        }
+        ++k;
+      }
+      if (live.empty()) break;
+    }
     const int32_t bi = pool_buffer_for(p, f / p->T);
     if (bi < 0) break;
     uint8_t* slot = p->buffers[bi] + (f % p->T) * slot_stride;

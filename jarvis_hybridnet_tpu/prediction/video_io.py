@@ -94,7 +94,15 @@ class MultiCameraReader:
         for path in video_paths:
             cap = cv2.VideoCapture(path)
             if frame_start:
-                cap.set(cv2.CAP_PROP_POS_FRAMES, frame_start)
+                if int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) > 0:
+                    cap.set(cv2.CAP_PROP_POS_FRAMES, frame_start)
+                else:
+                    # un-indexed container (no frame count): POS_FRAMES
+                    # seeks fail silently there, which would misalign
+                    # every output row by frame_start — skip sequentially
+                    for _ in range(frame_start):
+                        if not cap.grab():
+                            break
             size = (
                 int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
                 int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
@@ -170,17 +178,44 @@ class MultiCameraReader:
     def _decode_cameras(self, cams: list[int]):
         """Decode a worker's cameras, interleaved frame-by-frame so every
         camera in the group advances in lockstep (each camera's stream is
-        still read strictly sequentially)."""
+        still read strictly sequentially).
+
+        When the stream length is unknown, each new batch's frames are
+        probed BEFORE claiming a ring buffer: with a known length the
+        loop bound stops exactly at the last frame, but an unknown-length
+        stream would otherwise have to acquire a buffer for a phantom
+        batch just to discover EOF — and if the consumer holds the whole
+        ring (the documented never-recycles contract), that acquisition
+        blocks forever with EOF undelivered.
+        """
         T = self.batch_size
         live = list(cams)
+        probe_eof = self.number_frames is None
         for f in range(self._limit):
             if not live:
                 break
+            probed = None
+            if probe_eof and f % T == 0:
+                probed = {}
+                for c in list(live):
+                    ret, img = self.caps[c].read()
+                    if not ret:
+                        live.remove(c)
+                        with self._lock:
+                            self._progress[c] = -self._progress[c] - 1
+                            self._lock.notify_all()
+                    else:
+                        probed[c] = img
+                if not live:
+                    break
             buf = self._buffer_for(f // T)
             if buf is None:
                 break
             for c in list(live):
-                ret, img = self.caps[c].read()
+                if probed is not None:
+                    img, ret = probed[c], True
+                else:
+                    ret, img = self.caps[c].read()
                 if not ret:
                     live.remove(c)
                     with self._lock:

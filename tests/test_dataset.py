@@ -192,3 +192,33 @@ def test_loader_process_workers_distinct_rng():
     assert not np.allclose(b1, b2)
     # distinct streams per epoch: the re-forked pool must not replay
     assert not np.allclose(epoch1, epoch2)
+
+
+def test_thread_local_generator():
+    """Dataset RNGs hand each loader thread its own stream (shared
+    np.random.Generator state is not thread-safe — review r3 finding)."""
+    import threading
+
+    from jarvis_hybridnet_tpu.utils.rng import ThreadLocalGenerator
+
+    rng = ThreadLocalGenerator(3)
+    draws = {}
+
+    def worker(k):
+        draws[k] = [rng.random() for _ in range(1000)]
+
+    threads = [threading.Thread(target=worker, args=(k,)) for k in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # distinct independent streams per thread
+    for a in range(4):
+        for b in range(a + 1, 4):
+            assert draws[a] != draws[b]
+    # reseed (the fork-worker path) re-derives fresh streams
+    before = rng.random()
+    rng.reseed(99)
+    rng2 = ThreadLocalGenerator(99)
+    assert rng.random() == rng2.random()
+    assert before != rng.random()

@@ -256,5 +256,115 @@ def test_native_honors_max_buffers(videos):
     held = []
     for batch, n in reader:  # never recycle mid-stream
         held.append(batch)
-    assert sum(1 for _ in held) >= 1
+    assert len(held) == 3  # 10 frames / T=4 -> 4,4,2; ring of 5 never blocks
+    reader.release()
+
+
+def _consume_all(reader, out):
+    for batch, n in reader:  # never recycles
+        out.append(n)
+    out.append("end")
+
+
+def test_cv2_unknown_count_exact_batch_multiple_terminates(videos,
+                                                           monkeypatch):
+    """Unknown-length stream whose frame total is an exact multiple of
+    batch_size, consumed without recycling while holding the whole ring:
+    EOF must still be delivered (review r3 CONFIRMED deadlock — the
+    decoder acquired a buffer for a phantom batch just to discover EOF)."""
+    import threading
+
+    real = cv2.VideoCapture
+
+    class NoCount:
+        def __init__(self, path):
+            self._cap = real(path)
+
+        def get(self, prop):
+            if prop == cv2.CAP_PROP_FRAME_COUNT:
+                return 0.0
+            return self._cap.get(prop)
+
+        def __getattr__(self, name):
+            return getattr(self._cap, name)
+
+    monkeypatch.setattr(cv2, "VideoCapture", NoCount)
+    # N=10 frames, T=5 -> 2 full batches; ring of max_buffers=2 fully held
+    reader = MultiCameraReader(videos, batch_size=5, prefetch=1,
+                               max_buffers=2, num_threads=2)
+    assert reader.number_frames is None
+    out = []
+    t = threading.Thread(target=_consume_all, args=(reader, out),
+                         daemon=True)
+    t.start()
+    t.join(timeout=30)
+    assert out == [5, 5, "end"], out
+    reader.release()
+
+
+@needs_native_video
+def test_native_unknown_count_exact_batch_multiple_terminates(tmp_path):
+    """Native-pool twin of the phantom-batch EOF deadlock test, on a raw
+    MJPEG stream (no container frame count)."""
+    import threading
+
+    from jarvis_hybridnet_tpu.prediction.video_io import (
+        NativeMultiCameraReader,
+    )
+
+    paths = []
+    for c in range(2):
+        p = str(tmp_path / f"Camera_{c}.mjpeg")
+        with open(p, "wb") as f:
+            for fr in range(N):
+                img = np.full((H, W, 3), _marker(c, fr), np.uint8)
+                ok, buf = cv2.imencode(".jpg", img)
+                assert ok
+                f.write(buf.tobytes())
+        paths.append(p)
+    if native.probe_video(paths[0]) is None:
+        pytest.skip("libav cannot open raw mjpeg here")
+    reader = NativeMultiCameraReader(paths, batch_size=5, prefetch=1,
+                                     max_buffers=2, num_threads=2)
+    assert reader.number_frames is None
+    out = []
+    t = threading.Thread(target=_consume_all, args=(reader, out),
+                         daemon=True)
+    t.start()
+    t.join(timeout=30)
+    assert out == [5, 5, "end"], out
+    reader.release()
+
+
+def test_cv2_unknown_count_frame_start_skips_sequentially(videos,
+                                                          monkeypatch):
+    """frame_start on an un-indexed container must not silently decode
+    from frame 0 (review r3 finding: POS_FRAMES seeks fail silently
+    exactly where CAP_PROP_FRAME_COUNT is 0) — frames are skipped
+    sequentially instead."""
+    real = cv2.VideoCapture
+
+    class NoCount:
+        def __init__(self, path):
+            self._cap = real(path)
+
+        def get(self, prop):
+            if prop == cv2.CAP_PROP_FRAME_COUNT:
+                return 0.0
+            return self._cap.get(prop)
+
+        def set(self, prop, value):  # un-indexed: position seek refused
+            if prop == cv2.CAP_PROP_POS_FRAMES:
+                return False
+            return self._cap.set(prop, value)
+
+        def __getattr__(self, name):
+            return getattr(self._cap, name)
+
+    monkeypatch.setattr(cv2, "VideoCapture", NoCount)
+    reader = MultiCameraReader(videos, frame_start=3, batch_size=4,
+                               num_threads=2)
+    batch, n = next(iter(reader))
+    assert abs(int(batch[0, 0, H // 2, W // 2, 0]) - _marker(0, 3)) <= 6
+    reader.recycle(batch)
     reader.release()
