@@ -205,3 +205,24 @@ def test_pod_streaming_prediction(pod_project, monkeypatch):
     # distinct frames produced distinct rows (content encoding worked),
     # so row-identity above really proves per-frame coverage and order
     assert len(set(pod_rows[2:])) == n_frames
+
+
+def test_pod_shard_rejects_unknown_frame_count(pod_project, monkeypatch):
+    """Pod sharding with number_frames=-1 needs a real total to split;
+    an un-indexed container (probe returns 0) must raise a clear error
+    instead of slicing a bogus negative count (review r3 follow-up)."""
+    import pytest
+
+    from jarvis_hybridnet_tpu.prediction import predict3d as p3d
+    from jarvis_hybridnet_tpu.utils.param_classes import Predict3DParams
+
+    root, rec, _ = pod_project
+    monkeypatch.setattr(p3d, "probe_frame_count", lambda path: 0)
+    params = Predict3DParams(
+        project_name="PodProj", recording_path=str(rec),
+        weights_center_detect=None, weights_hybridnet=None,
+        output_dir=str(root / "out_err"), process_index=1,
+        process_count=3,
+    )
+    with pytest.raises(ValueError, match="number_frames"):
+        p3d._pod_frame_shard(params, str(rec))
