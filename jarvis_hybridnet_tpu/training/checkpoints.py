@@ -116,6 +116,16 @@ def get_latest_weights(cfg, module: str) -> str | None:
     return _latest_run_file(search, names)
 
 
+def get_latest_train_state(cfg, module: str) -> str | None:
+    """Newest run's resumable ``train_state.ckpt`` (periodic epoch saves
+    and the preemption path both write it). module in {'CenterDetect',
+    'KeypointDetect', 'HybridNet'}."""
+    search = os.path.join(
+        cfg.PARENT_DIR, "projects", cfg.PROJECT_NAME, "models", module
+    )
+    return _latest_run_file(search, ["train_state.ckpt"])
+
+
 def load_efficienttrack_params(
     cfg,
     module: str,  # 'CenterDetect' or 'KeypointDetect'

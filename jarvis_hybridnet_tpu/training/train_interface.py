@@ -19,11 +19,40 @@ from .trainer2d import EfficientTrackTrainer
 from .trainer3d import HybridNetTrainer
 
 
+def _resolve_resume(resume, cfg, module):
+    """'latest' -> newest run's train_state.ckpt; else a path (or None)."""
+    if resume is None or resume == "None":
+        return None
+    if resume == "latest":
+        from .checkpoints import get_latest_train_state
+
+        path = get_latest_train_state(cfg, module)
+        if path is None:
+            clp.error(f"No resumable train_state.ckpt found for {module}.")
+        return path
+    return resume
+
+
+def _report_final(results, acc_unit):
+    if results.get("preempted"):
+        clp.warning("Training was preempted; a resumable train state was "
+                    "saved. Continue with --resume latest.")
+        return
+    clp.success("Successfully finished training!")
+    print("Final Stats:")
+    print(f'Training Loss: {results["train_loss"]}')
+    print(f'Training Accuracy [{acc_unit}]: {results["train_acc"]}')
+    print(f'Validation Loss: {results["val_loss"]}')
+    print(f'Validation Accuracy [{acc_unit}]: {results["val_acc"]}')
+
+
 def train_efficienttrack(mode, project_name, num_epochs, weights,
                          run_name=None, streamlit_widgets=None,
-                         cameras_to_use=None):
+                         cameras_to_use=None, resume=None):
     """mode in {'CenterDetect', 'KeypointDetect'}; returns True on success
-    (reference: jarvis/train_interface.py:52-121)."""
+    (reference: jarvis/train_interface.py:52-121). ``resume`` is a
+    train_state.ckpt path or 'latest' (full-state mid-run resume, e.g.
+    after preemption — utils/preemption.py)."""
     project = ProjectManager()
     if not project.load(project_name):
         return False
@@ -47,27 +76,28 @@ def train_efficienttrack(mode, project_name, num_epochs, weights,
 
     if weights == "None":
         weights = None
+    resume_from = _resolve_resume(resume, cfg, mode)
+    if resume is not None and resume != "None" and resume_from is None:
+        return False
     trainer = EfficientTrackTrainer(mode, cfg, weights=weights,
                                     run_name=run_name)
     if not trainer.found_weights:
         clp.error("Could not load weights, aborting training!")
         return False
     results = trainer.train(train_set, val_set, num_epochs,
-                            streamlitWidgets=streamlit_widgets)
-    clp.success("Successfully finished training!")
-    print("Final Stats:")
-    print(f'Training Loss: {results["train_loss"]}')
-    print(f'Training Accuracy [px]: {results["train_acc"]}')
-    print(f'Validation Loss: {results["val_loss"]}')
-    print(f'Validation Accuracy [px]: {results["val_acc"]}')
+                            streamlitWidgets=streamlit_widgets,
+                            resume_from=resume_from)
+    _report_final(results, "px")
     return True
 
 
 def train_hybridnet(project_name, num_epochs, weights_keypoint_detect,
                     weights, mode="3D_only", run_name=None, finetune=False,
-                    streamlit_widgets=None, cameras_to_use=None):
+                    streamlit_widgets=None, cameras_to_use=None,
+                    resume=None):
     """mode in {'all', 'bifpn', 'last_layers', '3D_only'}
-    (reference: jarvis/train_interface.py:124-213)."""
+    (reference: jarvis/train_interface.py:124-213). ``resume`` is a
+    train_state.ckpt path or 'latest' (full-state mid-run resume)."""
     project = ProjectManager()
     if not project.load(project_name):
         return False
@@ -96,19 +126,18 @@ def train_hybridnet(project_name, num_epochs, weights_keypoint_detect,
             float(cfg.HYBRIDNET.MAX_LEARNING_RATE) / 10.0
         )
 
+    resume_from = _resolve_resume(resume, cfg, "HybridNet")
+    if resume is not None and resume != "None" and resume_from is None:
+        return False
     trainer = HybridNetTrainer(
         "train", cfg, weights=weights,
         efficienttrack_weights=weights_keypoint_detect,
         run_name=run_name, training_mode=mode,
     )
     results = trainer.train(train_set, val_set, num_epochs,
-                            streamlitWidgets=streamlit_widgets)
-    clp.success("Successfully finished training!")
-    print("Final Stats:")
-    print(f'Training Loss: {results["train_loss"]}')
-    print(f'Training Accuracy [mm]: {results["train_acc"]}')
-    print(f'Validation Loss: {results["val_loss"]}')
-    print(f'Validation Accuracy [mm]: {results["val_acc"]}')
+                            streamlitWidgets=streamlit_widgets,
+                            resume_from=resume_from)
+    _report_final(results, "mm")
     return True
 
 

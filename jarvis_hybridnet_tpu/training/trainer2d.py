@@ -186,99 +186,125 @@ class EfficientTrackTrainer:
                    ("train_loss", "train_acc", "val_loss", "val_acc")}
 
         from ..utils.st_monitor import StreamlitTrainingMonitor
+        from ..utils.preemption import PreemptionGuard
 
         monitor = StreamlitTrainingMonitor(streamlitWidgets, self.mode,
                                            acc_unit="px")
         monitor.start(num_epochs)
 
         step = 0
-        for epoch in range(start_epoch, num_epochs):
-            bar = tqdm(train_loader, total=steps_per_epoch)
-            for count, (imgs, targets, keypoints) in enumerate(bar):
-                rng, sub = jax.random.split(rng)
-                self.params, opt_state, loss, hm2 = train_step(
-                    self.params, opt_state, lr_scale, sub,
-                    imgs.astype(np.float32),
-                    targets[0].transpose(0, 2, 3, 1),
-                    targets[1].transpose(0, 2, 3, 1),
-                )
-                step += 1
-                gt = local_np(keypoints).reshape(
-                    -1, self.model.output_channels, 3
-                )[:, :, :2]
-                acc = calculate_accuracy(local_np(hm2), gt)
-                self.lossMeter.update(float(loss))
-                if acc != -1:
-                    self.accuracyMeter.update(acc)
-                bar.set_description(
-                    "Epoch: {}/{}. Loss: {:.5f}. Acc: {:1.3f}".format(
-                        epoch + 1, num_epochs, self.lossMeter.read(),
-                        self.accuracyMeter.read())
-                )
-                if streamlitWidgets is not None:
-                    monitor.step(count, steps_per_epoch)
-
-            if plateau is not None:
-                new_lr = plateau.step(self.lossMeter.read())
-                lr_scale = new_lr / float(cfg.MAX_LEARNING_RATE)
-
-            current_lr = (
-                float(optim.onecycle_schedule(
-                    float(cfg.MAX_LEARNING_RATE),
-                    steps_per_epoch * num_epochs)(step))
-                if use_onecycle else plateau.lr
-            )
-            self.logger.update_learning_rate(current_lr)
-            self.logger.update_train_loss(self.lossMeter.read())
-            self.logger.update_train_accuracy(self.accuracyMeter.read())
-            results["train_loss"] = self.lossMeter.read()
-            results["train_acc"] = self.accuracyMeter.read()
-            history["train_loss"].append(results["train_loss"])
-            history["train_acc"].append(results["train_acc"])
-            self.lossMeter.reset()
-            self.accuracyMeter.reset()
-
-            if (epoch + 1) % int(cfg.CHECKPOINT_SAVE_INTERVAL) == 0 \
-                    and epoch + 1 < num_epochs:
-                self.save_checkpoint(
-                    f"EfficientTrack-{cfg.MODEL_SIZE}_Epoch_{epoch+1}")
-                checkpoints.save_train_state(
-                    os.path.join(self.model_savepath, "train_state.ckpt"),
-                    self.params, opt_state, epoch + 1)
-            if epoch + 1 == num_epochs:
-                self.save_checkpoint(f"EfficientTrack-{cfg.MODEL_SIZE}_final")
-
-            if (epoch + 1) % int(cfg.VAL_INTERVAL) == 0:
-                for imgs, targets, keypoints in val_loader:
-                    loss, hm2 = eval_step(
-                        self.params, imgs.astype(np.float32),
+        guard = PreemptionGuard()
+        with guard:
+            for epoch in range(start_epoch, num_epochs):
+                bar = tqdm(train_loader, total=steps_per_epoch)
+                for count, (imgs, targets, keypoints) in enumerate(bar):
+                    rng, sub = jax.random.split(rng)
+                    self.params, opt_state, loss, hm2 = train_step(
+                        self.params, opt_state, lr_scale, sub,
+                        imgs.astype(np.float32),
                         targets[0].transpose(0, 2, 3, 1),
                         targets[1].transpose(0, 2, 3, 1),
                     )
+                    step += 1
+                    if guard.should_stop:
+                        self._save_preempted(opt_state, epoch)
+                        results["preempted"] = True
+                        return results
                     gt = local_np(keypoints).reshape(
-                        -1, self.model.output_channels, 3)[:, :, :2]
+                        -1, self.model.output_channels, 3
+                    )[:, :, :2]
                     acc = calculate_accuracy(local_np(hm2), gt)
                     self.lossMeter.update(float(loss))
                     if acc != -1:
                         self.accuracyMeter.update(acc)
-                print("Val. Epoch: {}/{}. Loss: {:1.5f}. Acc: {:1.3f}".format(
-                    epoch + 1, num_epochs, self.lossMeter.read(),
-                    self.accuracyMeter.read()))
-                results["val_loss"] = self.lossMeter.read()
-                results["val_acc"] = self.accuracyMeter.read()
-                if np.isnan(results["val_acc"]):
-                    results["val_acc"] = 0
-                history["val_loss"].append(results["val_loss"])
-                history["val_acc"].append(results["val_acc"])
-                self.logger.update_val_loss(self.lossMeter.read())
-                self.logger.update_val_accuracy(self.accuracyMeter.read())
+                    bar.set_description(
+                        "Epoch: {}/{}. Loss: {:.5f}. Acc: {:1.3f}".format(
+                            epoch + 1, num_epochs, self.lossMeter.read(),
+                            self.accuracyMeter.read())
+                    )
+                    if streamlitWidgets is not None:
+                        monitor.step(count, steps_per_epoch)
+
+                if plateau is not None:
+                    new_lr = plateau.step(self.lossMeter.read())
+                    lr_scale = new_lr / float(cfg.MAX_LEARNING_RATE)
+
+                current_lr = (
+                    float(optim.onecycle_schedule(
+                        float(cfg.MAX_LEARNING_RATE),
+                        steps_per_epoch * num_epochs)(step))
+                    if use_onecycle else plateau.lr
+                )
+                self.logger.update_learning_rate(current_lr)
+                self.logger.update_train_loss(self.lossMeter.read())
+                self.logger.update_train_accuracy(self.accuracyMeter.read())
+                results["train_loss"] = self.lossMeter.read()
+                results["train_acc"] = self.accuracyMeter.read()
+                history["train_loss"].append(results["train_loss"])
+                history["train_acc"].append(results["train_acc"])
                 self.lossMeter.reset()
                 self.accuracyMeter.reset()
 
-            if streamlitWidgets is not None:
-                monitor.epoch(epoch, num_epochs, history)
+                if (epoch + 1) % int(cfg.CHECKPOINT_SAVE_INTERVAL) == 0 \
+                        and epoch + 1 < num_epochs:
+                    self.save_checkpoint(
+                        f"EfficientTrack-{cfg.MODEL_SIZE}_Epoch_{epoch+1}")
+                    checkpoints.save_train_state(
+                        os.path.join(self.model_savepath, "train_state.ckpt"),
+                        self.params, opt_state, epoch + 1)
+                if epoch + 1 == num_epochs:
+                    self.save_checkpoint(f"EfficientTrack-{cfg.MODEL_SIZE}_final")
+
+                if (epoch + 1) % int(cfg.VAL_INTERVAL) == 0:
+                    for imgs, targets, keypoints in val_loader:
+                        loss, hm2 = eval_step(
+                            self.params, imgs.astype(np.float32),
+                            targets[0].transpose(0, 2, 3, 1),
+                            targets[1].transpose(0, 2, 3, 1),
+                        )
+                        gt = local_np(keypoints).reshape(
+                            -1, self.model.output_channels, 3)[:, :, :2]
+                        acc = calculate_accuracy(local_np(hm2), gt)
+                        self.lossMeter.update(float(loss))
+                        if acc != -1:
+                            self.accuracyMeter.update(acc)
+                    print("Val. Epoch: {}/{}. Loss: {:1.5f}. Acc: {:1.3f}".format(
+                        epoch + 1, num_epochs, self.lossMeter.read(),
+                        self.accuracyMeter.read()))
+                    results["val_loss"] = self.lossMeter.read()
+                    results["val_acc"] = self.accuracyMeter.read()
+                    if np.isnan(results["val_acc"]):
+                        results["val_acc"] = 0
+                    history["val_loss"].append(results["val_loss"])
+                    history["val_acc"].append(results["val_acc"])
+                    self.logger.update_val_loss(self.lossMeter.read())
+                    self.logger.update_val_accuracy(self.accuracyMeter.read())
+                    self.lossMeter.reset()
+                    self.accuracyMeter.reset()
+
+                if streamlitWidgets is not None:
+                    monitor.epoch(epoch, num_epochs, history)
+
+                # A signal during epoch-end work (val loop, checkpoint IO)
+                # must not start another epoch.
+                if guard.should_stop:
+                    self._save_preempted(opt_state, epoch + 1)
+                    results["preempted"] = True
+                    return results
 
         return results
+
+    def _save_preempted(self, opt_state, epoch: int) -> None:
+        """Preemption path (utils/preemption.py): write a full resumable
+        train state and leave. The interrupted epoch restarts from its
+        beginning on ``resume_from`` (data order is epoch-deterministic)."""
+        from ..utils.preemption import is_primary_host
+
+        path = os.path.join(self.model_savepath, "train_state.ckpt")
+        if is_primary_host():
+            checkpoints.save_train_state(path, self.params, opt_state, epoch)
+        clp.warning(f"Training preempted in epoch {epoch + 1}; resumable "
+                    f"state saved to {path}")
 
     def save_checkpoint(self, name: str) -> None:
         checkpoints.save_checkpoint(

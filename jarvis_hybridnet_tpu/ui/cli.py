@@ -109,30 +109,38 @@ def _resolve_train_weights(weights_path, pretrained_weights):
               help="Path to a specific checkpoint to load before training.")
 @click.option("--pretrained_weights", default="None",
               help="Named pretrain ('EcoSet' or a pose pretrain).")
+@click.option("--resume", default=None,
+              help="Resume a full train state (path to train_state.ckpt or "
+              "'latest'), e.g. after a preemption.")
 @click.argument("project_name")
 def train_center_detect(project_name, num_epochs, weights_path,
-                        pretrained_weights):
+                        pretrained_weights, resume):
     """Train only the centerDetect network."""
     from ..training import train_interface
 
     train_interface.train_efficienttrack(
         "CenterDetect", project_name, num_epochs,
-        _resolve_train_weights(weights_path, pretrained_weights))
+        _resolve_train_weights(weights_path, pretrained_weights),
+        resume=resume)
 
 
 @train.command(name="keypointDetect")
 @click.option("--num_epochs", default=None, type=click.IntRange(min=1))
 @click.option("--weights_path", default=None)
 @click.option("--pretrained_weights", default="None")
+@click.option("--resume", default=None,
+              help="Resume a full train state (path to train_state.ckpt or "
+              "'latest'), e.g. after a preemption.")
 @click.argument("project_name")
 def train_keypoint_detect(project_name, num_epochs, weights_path,
-                          pretrained_weights):
+                          pretrained_weights, resume):
     """Train only the keypointDetect network."""
     from ..training import train_interface
 
     train_interface.train_efficienttrack(
         "KeypointDetect", project_name, num_epochs,
-        _resolve_train_weights(weights_path, pretrained_weights))
+        _resolve_train_weights(weights_path, pretrained_weights),
+        resume=resume)
 
 
 @train.command(name="hybridNet")
@@ -142,15 +150,18 @@ def train_keypoint_detect(project_name, num_epochs, weights_path,
 @click.option("--mode", default="3D_only",
               type=click.Choice(["3D_only", "last_layers", "bifpn", "all"],
                                 case_sensitive=False))
+@click.option("--resume", default=None,
+              help="Resume a full train state (path to train_state.ckpt or "
+              "'latest'), e.g. after a preemption.")
 @click.argument("project_name")
 def train_hybridnet(project_name, num_epochs, weights_keypoint_detect,
-                    weights_hybridnet, mode):
+                    weights_hybridnet, mode, resume):
     """Train the full HybridNet using trained keypointDetect weights."""
     from ..training import train_interface
 
     train_interface.train_hybridnet(
         project_name, num_epochs, weights_keypoint_detect, weights_hybridnet,
-        mode, finetune=(mode != "3D_only"))
+        mode, finetune=(mode != "3D_only"), resume=resume)
 
 
 @train.command(name="all")

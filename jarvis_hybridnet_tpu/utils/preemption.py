@@ -1,0 +1,96 @@
+"""Preemption-safe training (the SURVEY §5 "failure detection / elastic
+recovery" subsystem — absent in the reference, where failures surface as
+asserts and runs are not resumable mid-epoch).
+
+On TPU fleets preemption is routine: the scheduler delivers SIGTERM with
+a short grace window before evicting the VM. ``PreemptionGuard`` turns
+that into a clean stop: it installs signal handlers for the duration of
+a training run, trainers poll ``guard.should_stop`` at step boundaries,
+and on a request they write a full resumable train state (params +
+optimizer + epoch, ``training.checkpoints.save_train_state``) and return
+with ``results["preempted"] = True``. The next run passes
+``resume_from=<savepath>/train_state.ckpt`` and continues; the partial
+epoch is re-run from its start (data order is epoch-deterministic, so no
+loader state needs saving).
+
+A second signal while the guard is active restores the previous handler
+and re-raises it, so a stuck save can still be killed the normal way.
+
+Multi-host: every process receives the eviction signal and flips its own
+flag, so all hosts leave the step loop at the same step boundary; only
+process 0 writes the checkpoint (train state is replicated).
+"""
+
+from __future__ import annotations
+
+import signal
+import threading
+
+from . import clp
+
+# SIGTERM: what TPU-VM maintenance/preemption actually delivers.
+# SIGINT:  lets an interactive Ctrl-C produce a resumable run too.
+DEFAULT_SIGNALS = (signal.SIGTERM, signal.SIGINT)
+
+
+class PreemptionGuard:
+    """Context manager that converts termination signals into a polled
+    stop request. Only usable from the main thread (POSIX signal rule);
+    anywhere else it degrades to a manual ``request_stop()`` flag."""
+
+    def __init__(self, signals=DEFAULT_SIGNALS):
+        self._signals = tuple(signals)
+        self._stop = threading.Event()
+        self._prev: dict[int, object] = {}
+        self._installed = False
+
+    # -- context management -------------------------------------------
+    def __enter__(self):
+        if threading.current_thread() is threading.main_thread():
+            for sig in self._signals:
+                self._prev[sig] = signal.signal(sig, self._on_signal)
+            self._installed = True
+        return self
+
+    def __exit__(self, *exc):
+        if self._installed:
+            for sig, prev in self._prev.items():
+                signal.signal(sig, prev)
+            self._prev.clear()
+            self._installed = False
+        return False
+
+    # -- signal path ---------------------------------------------------
+    def _on_signal(self, signum, frame):
+        if self._stop.is_set():
+            # Second signal: give up gracefulness — restore the previous
+            # handler and re-deliver, so the process can actually die.
+            prev = self._prev.get(signum, signal.SIG_DFL)
+            signal.signal(signum, prev)
+            signal.raise_signal(signum)
+            return
+        self._stop.set()
+        clp.warning(
+            f"Received signal {signal.Signals(signum).name}: finishing the "
+            "current step, saving a resumable train state, then exiting. "
+            "Send again to terminate immediately."
+        )
+
+    # -- trainer API -----------------------------------------------------
+    def request_stop(self) -> None:
+        """Manual trigger (tests, schedulers with their own signal plumbing)."""
+        self._stop.set()
+
+    @property
+    def should_stop(self) -> bool:
+        return self._stop.is_set()
+
+
+def is_primary_host() -> bool:
+    """True on the process that should write shared checkpoints."""
+    import jax
+
+    try:
+        return jax.process_index() == 0
+    except Exception:
+        return True

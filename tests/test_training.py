@@ -235,3 +235,78 @@ def test_trainer2d_bf16_mixed_precision(project):
     assert np.isfinite(results["train_loss"])
     leaves = jax.tree_util.tree_leaves(trainer.params)
     assert all(leaf.dtype == jnp.float32 for leaf in leaves)
+
+
+def test_preemption_guard_unit():
+    """PreemptionGuard installs/restores handlers and converts a signal
+    into a polled stop request (second signal path not exercised: it
+    re-raises with the previous handler, i.e. kills the process)."""
+    import signal
+
+    from jarvis_hybridnet_tpu.utils.preemption import PreemptionGuard
+
+    before = signal.getsignal(signal.SIGTERM)
+    guard = PreemptionGuard()
+    with guard:
+        assert not guard.should_stop
+        assert signal.getsignal(signal.SIGTERM) is not before
+        signal.raise_signal(signal.SIGTERM)  # synchronous in main thread
+        assert guard.should_stop
+    assert signal.getsignal(signal.SIGTERM) is before
+
+
+def test_trainer2d_preemption_resume(project, monkeypatch):
+    """SIGTERM mid-training (the TPU-fleet preemption path) saves a full
+    resumable train state at the next step boundary and returns with
+    results['preempted']; a resume run completes normally."""
+    import signal
+
+    from jarvis_hybridnet_tpu.dataset.dataset2d import Dataset2D
+    from jarvis_hybridnet_tpu.training import checkpoints
+    from jarvis_hybridnet_tpu.training import trainer2d as t2d
+
+    cfg = project.get_cfg()
+    cfg.CENTERDETECT.IMAGE_SIZE = 128
+    cfg.CENTERDETECT.BATCH_SIZE = 2
+
+    # 4 samples / batch 2 = 2 steps per epoch, so the stop lands at a
+    # MID-epoch step boundary (saved epoch == the interrupted one).
+    ds = Dataset2D(cfg, set="val", mode="CenterDetect")
+    ds.image_ids = ds.image_ids[:4]
+
+    # Deliver SIGTERM synchronously from inside the first train step's
+    # host-side accuracy call — deterministic, but a real signal through
+    # the installed handler; the guard check fires at the next step.
+    real_acc = t2d.calculate_accuracy
+    fired = []
+
+    def acc_then_sigterm(heatmaps, gt):
+        if not fired:
+            fired.append(True)
+            signal.raise_signal(signal.SIGTERM)
+        return real_acc(heatmaps, gt)
+
+    monkeypatch.setattr(t2d, "calculate_accuracy", acc_then_sigterm)
+    handler_before = signal.getsignal(signal.SIGTERM)
+    trainer = t2d.EfficientTrackTrainer("CenterDetect", cfg, weights=None,
+                                        run_name="PreemptRun")
+    results = trainer.train(ds, ds, num_epochs=3)
+    assert results.get("preempted") is True
+    # handler restored on exit
+    assert signal.getsignal(signal.SIGTERM) is handler_before
+    state_path = os.path.join(trainer.model_savepath, "train_state.ckpt")
+    assert os.path.isfile(state_path)
+    _, _, epoch = checkpoints.load_train_state(state_path)
+    assert epoch == 0  # interrupted epoch is re-run on resume
+    # 'latest' spec (CLI --resume latest) resolves to this state file
+    assert checkpoints.get_latest_train_state(
+        project.get_cfg(), "CenterDetect") == state_path
+
+    monkeypatch.setattr(t2d, "calculate_accuracy", real_acc)
+    trainer2 = t2d.EfficientTrackTrainer("CenterDetect", cfg, weights=None,
+                                         run_name="PreemptRun2")
+    results = trainer2.train(ds, ds, num_epochs=1, resume_from=state_path)
+    assert "preempted" not in results
+    assert np.isfinite(results["train_loss"])
+    assert os.path.isfile(os.path.join(
+        trainer2.model_savepath, "EfficientTrack-small_final.ckpt"))
