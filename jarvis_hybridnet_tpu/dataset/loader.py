@@ -31,6 +31,10 @@ import numpy as np
 
 _FORK_POOL_DATASET = None
 
+# Max seconds to wait for one batch from the fork pool before declaring a
+# worker dead (a killed worker's in-flight task is silently lost by Pool).
+_WORKER_DEADLINE_S = 300.0
+
 
 def _reseed_forked_rngs(dataset, epoch_seed: int) -> None:
     """Give this forked worker its own RNG streams.
@@ -202,6 +206,27 @@ class DataLoader:
                         _fork_build_batch, ([int(i) for i in idxs],)))
                     return True
 
+                def get_checked(result):
+                    """AsyncResult.get with a heartbeat: Pool silently
+                    loses the in-flight task of a killed worker (e.g.
+                    OOM), so a bare get() would hang training forever.
+                    Poll with a timeout, honor consumer shutdown, and
+                    raise once no result appears within the deadline."""
+                    waited = 0.0
+                    while not stop.is_set():
+                        try:
+                            return result.get(timeout=1.0)
+                        except mp.TimeoutError:
+                            waited += 1.0
+                            if waited >= _WORKER_DEADLINE_S:
+                                raise RuntimeError(
+                                    "dataloader worker produced no batch "
+                                    f"for {int(waited)}s — a forked worker "
+                                    "likely died (OOM-killed?); its task "
+                                    "is lost. Reduce num_workers or "
+                                    "memory per sample.")
+                    return None
+
                 try:
                     # keep the workers saturated one batch ahead of the
                     # prefetch queue
@@ -209,7 +234,9 @@ class DataLoader:
                         if not submit_next():
                             break
                     while pending:
-                        batch = pending.popleft().get()
+                        batch = get_checked(pending.popleft())
+                        if batch is None:  # consumer gone
+                            return
                         submit_next()
                         if not put_checked(batch):
                             return

@@ -30,6 +30,38 @@ def make_mesh(
     return Mesh(grid, ("data", "cameras"))
 
 
+def plan_inference_devices(all_devices, n_data_cap, n_cam=1,
+                           num_cameras=0):
+    """Pick the device slice and camera-shard factor for inference drivers.
+
+    ``TPU.MESH_DATA_AXIS`` (``n_data_cap``) caps the data-parallel axis
+    (-1 = all devices; 1 = single-device, e.g. to use an AOT artifact on
+    a multi-chip host). Camera-sharding feasibility is decided BEFORE
+    slicing so an infeasible ``TPU.SHARD_CAMERAS`` cannot leak its factor
+    into the data axis (MESH_DATA_AXIS=1 must stay single-device).
+    Returns ``(devices, n_cam)`` with ``n_cam == 1`` when camera sharding
+    is off; ``len(devices)`` is always divisible by ``n_cam``.
+    """
+    if n_cam > 1 and num_cameras % n_cam != 0:
+        n_cam = 1
+    devices = (all_devices[:n_data_cap * n_cam] if n_data_cap > 0
+               else all_devices)
+    if n_cam > 1 and len(devices) % n_cam != 0:
+        # not enough devices for whole camera groups: drop camera sharding
+        n_cam = 1
+        devices = (all_devices[:n_data_cap] if n_data_cap > 0
+                   else all_devices)
+    return devices, n_cam
+
+
+def local_inference_devices():
+    """Devices an inference driver should mesh over: on a pod each process
+    meshes only its LOCAL chips (the time axis is already sharded across
+    hosts), single-process runs see every chip."""
+    return (jax.local_devices() if jax.process_count() > 1
+            else jax.devices())
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Leading axis sharded over 'data' (frames / batch)."""
     return NamedSharding(mesh, P("data"))

@@ -44,21 +44,13 @@ def build_sharded_predict2d(
     )
     data_in = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
-    jitted = jax.jit(
-        fn,
-        in_shardings=(repl, data_in),
-        out_shardings=(repl, repl, repl),
+    from ..prediction.export import wrap_predictor
+
+    return wrap_predictor(
+        fn, {"center": center_params, "keypoint": keypoint_params},
+        in_shardings=(repl, data_in), out_shardings=(repl, repl, repl),
+        params_sharding=repl,
     )
-    params_tree = {"center": center_params, "keypoint": keypoint_params}
-    params_dev = jax.device_put(params_tree, repl)
-
-    def predictor(imgs):
-        return jitted(params_dev, imgs)
-
-    # AOT export rebinds through these as a single-device program
-    predictor.raw_fn = fn
-    predictor.host_params = params_tree
-    return predictor
 
 
 def build_sharded_predict3d(
@@ -87,18 +79,10 @@ def build_sharded_predict3d(
     cam_axis = "cameras" if shard_cameras else None
     data_in = NamedSharding(mesh, P("data", cam_axis))
     repl = NamedSharding(mesh, P())
-    jitted = jax.jit(
-        fn,
-        in_shardings=(repl, data_in),
-        out_shardings=(repl, repl, repl),
+    from ..prediction.export import wrap_predictor
+
+    return wrap_predictor(
+        fn, {"center": center_params, "hybrid": hybridnet_params},
+        in_shardings=(repl, data_in), out_shardings=(repl, repl, repl),
+        params_sharding=repl,
     )
-    params_tree = {"center": center_params, "hybrid": hybridnet_params}
-    params_dev = jax.device_put(params_tree, repl)
-
-    def predictor(imgs):
-        return jitted(params_dev, imgs)
-
-    # AOT export rebinds through these as a single-device program
-    predictor.raw_fn = fn
-    predictor.host_params = params_tree
-    return predictor

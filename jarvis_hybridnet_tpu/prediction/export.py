@@ -16,6 +16,32 @@ import jax.numpy as jnp
 from jax import export as jax_export
 
 
+def wrap_predictor(fn, params_tree, in_shardings=None, out_shardings=None,
+                   params_sharding=None):
+    """Jit a pure ``(params, imgs)`` predictor, pin its weights on device,
+    and attach the AOT rebind contract (``raw_fn`` + ``host_params``) that
+    ``export_predictor`` consumes.
+
+    Weights stay jit *arguments* on the live path (constant-embedding
+    would re-hash them into every cache key); shardings, when given, make
+    the same wrapper serve the multi-chip builders in parallel/.
+    """
+    kwargs = {}
+    if in_shardings is not None:
+        kwargs = dict(in_shardings=in_shardings, out_shardings=out_shardings)
+    jitted = jax.jit(fn, **kwargs)
+    params_dev = (jax.device_put(params_tree, params_sharding)
+                  if params_sharding is not None
+                  else jax.device_put(params_tree))
+
+    def predictor(imgs):
+        return jitted(params_dev, imgs)
+
+    predictor.raw_fn = fn
+    predictor.host_params = params_tree
+    return predictor
+
+
 def export_predictor(predict_fn, example_input, path: str) -> None:
     """Serialize a jitted predictor with its weights embedded.
 

@@ -63,21 +63,22 @@ def predict2D(params: Predict2DParams) -> str | None:
     # predict3D's mesh wiring; the 2D cascade has no cross-frame coupling)
     import jax
 
+    from ..parallel.mesh import local_inference_devices, \
+        plan_inference_devices
+
     mesh = None
     in_sharding = None
-    n_dev = len(jax.devices())
-    # TPU.MESH_DATA_AXIS caps the data-parallel axis (-1 = all devices;
-    # 1 = single-device, e.g. to use an AOT artifact on a multi-chip host)
-    n_data_cap = int(cfg.get("TPU", {}).get("MESH_DATA_AXIS", -1))
-    if n_data_cap > 0:
-        n_dev = min(n_dev, n_data_cap)
+    devices, _ = plan_inference_devices(
+        local_inference_devices(),
+        n_data_cap=int(cfg.get("TPU", {}).get("MESH_DATA_AXIS", -1)),
+    )
+    n_dev = len(devices)
     if n_dev > 1:
         from jax.sharding import NamedSharding, PartitionSpec as PSpec
 
         from ..parallel.mesh import make_mesh
 
-        mesh = make_mesh(n_data=n_dev, n_cameras=1,
-                         devices=jax.devices()[:n_dev])
+        mesh = make_mesh(n_data=n_dev, n_cameras=1, devices=devices)
         batch = max(batch, n_dev) // n_dev * n_dev  # divisible by dp
         in_sharding = NamedSharding(mesh, PSpec("data"))
         clp.info(f"Sharded 2D inference over {n_dev} devices")

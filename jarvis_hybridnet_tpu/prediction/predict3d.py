@@ -69,13 +69,17 @@ def _pod_frame_shard(params, probe_path):
 def _merge_pod_shards(output_dir, csv_name, pc, write_header):
     """Rank-0 merge: header + the per-process shard rows in rank order
     (shards are contiguous, rank-ordered time slices, so concatenation
-    restores global frame order)."""
+    restores global frame order). Raises when a shard is missing — a
+    silently absent merged CSV must not read as a successful run."""
     parts = [os.path.join(output_dir, f"{csv_name}.part{pi:05d}")
              for pi in range(pc)]
     missing = [p for p in parts if not os.path.isfile(p)]
     if missing:
-        clp.error(f"Cannot merge pod shards, missing: {missing}")
-        return
+        raise RuntimeError(
+            f"Cannot merge pod shards into {csv_name}, missing: {missing} "
+            "(a host failed to write its shard, or the shared filesystem "
+            "has not made it visible). The .partNNNNN files are left in "
+            "place for a manual merge.")
     with open(os.path.join(output_dir, csv_name), "w", newline="") as out:
         writer = csv.writer(out, delimiter=",", quotechar='"',
                             quoting=csv.QUOTE_MINIMAL)
@@ -110,29 +114,6 @@ def _drain(writer, pending, num_joints, bar, params, done, total):
     bar.update(n)
     if params.progress_bar is not None and total:
         params.progress_bar.progress(min(1.0, (done + n) / total))
-
-
-def _plan_inference_devices(all_devices, n_data_cap, n_cam, num_cameras):
-    """Pick the device slice and camera-shard factor for the 3D driver.
-
-    ``TPU.MESH_DATA_AXIS`` (``n_data_cap``) caps the data-parallel axis
-    (-1 = all devices; 1 = single-device, e.g. to use an AOT artifact on
-    a multi-chip host). Camera-sharding feasibility is decided BEFORE
-    slicing so an infeasible ``TPU.SHARD_CAMERAS`` cannot leak its factor
-    into the data axis (MESH_DATA_AXIS=1 must stay single-device).
-    Returns ``(devices, n_cam)`` with ``n_cam == 1`` when camera sharding
-    is off; ``len(devices)`` is always divisible by ``n_cam``.
-    """
-    if n_cam > 1 and num_cameras % n_cam != 0:
-        n_cam = 1
-    devices = (all_devices[:n_data_cap * n_cam] if n_data_cap > 0
-               else all_devices)
-    if n_cam > 1 and len(devices) % n_cam != 0:
-        # not enough devices for whole camera groups: drop camera sharding
-        n_cam = 1
-        devices = (all_devices[:n_data_cap] if n_data_cap > 0
-                   else all_devices)
-    return devices, n_cam
 
 
 def _stream_rows(params, cfg, reader, steps, shard_suffix, pi, pc):
@@ -289,8 +270,10 @@ def predict3D(params: Predict3DParams) -> str | None:
     # process meshes only its LOCAL chips: the time axis is sharded
     # across hosts by _pod_frame_shard already, so the per-host compute
     # is fully independent and nothing rides DCN.
+    from ..parallel.mesh import plan_inference_devices
+
     all_devices = jax.local_devices() if pc > 1 else jax.devices()
-    devices, n_cam = _plan_inference_devices(
+    devices, n_cam = plan_inference_devices(
         all_devices,
         n_data_cap=int(cfg.get("TPU", {}).get("MESH_DATA_AXIS", -1)),
         n_cam=int(cfg.get("TPU", {}).get("SHARD_CAMERAS", 1)),

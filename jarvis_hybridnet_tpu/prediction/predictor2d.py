@@ -123,12 +123,6 @@ def build_predict2d(
     params_tree = {"center": center_params, "keypoint": keypoint_params}
     if not jit:
         return predict
-    jitted = jax.jit(predict)
-    params_dev = jax.device_put(params_tree)
+    from .export import wrap_predictor
 
-    def predictor(imgs):
-        return jitted(params_dev, imgs)
-
-    predictor.raw_fn = predict
-    predictor.host_params = params_tree
-    return predictor
+    return wrap_predictor(predict, params_tree)

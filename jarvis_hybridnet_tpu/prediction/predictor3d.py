@@ -157,16 +157,9 @@ def build_predict3d(
     params_tree = {"center": center_params, "hybrid": hybridnet_params}
     if not jit:
         return predict
-    jitted = jax.jit(predict)
-    params_dev = jax.device_put(params_tree)
+    from .export import wrap_predictor
 
-    def predictor(imgs):
-        return jitted(params_dev, imgs)
-
-    # for AOT export: re-bindable pure function + host-resident weights
-    predictor.raw_fn = predict
-    predictor.host_params = params_tree
-    return predictor
+    return wrap_predictor(predict, params_tree)
 
 
 def build_predict3d_twophase(

@@ -34,16 +34,20 @@ def _resolve_resume(resume, cfg, module):
 
 
 def _report_final(results, acc_unit):
+    """Returns False when the run was preempted, so callers (notably
+    'train all' chains) stop instead of starting the next stage inside
+    the eviction grace window."""
     if results.get("preempted"):
         clp.warning("Training was preempted; a resumable train state was "
                     "saved. Continue with --resume latest.")
-        return
+        return False
     clp.success("Successfully finished training!")
     print("Final Stats:")
     print(f'Training Loss: {results["train_loss"]}')
     print(f'Training Accuracy [{acc_unit}]: {results["train_acc"]}')
     print(f'Validation Loss: {results["val_loss"]}')
     print(f'Validation Accuracy [{acc_unit}]: {results["val_acc"]}')
+    return True
 
 
 def train_efficienttrack(mode, project_name, num_epochs, weights,
@@ -87,8 +91,7 @@ def train_efficienttrack(mode, project_name, num_epochs, weights,
     results = trainer.train(train_set, val_set, num_epochs,
                             streamlitWidgets=streamlit_widgets,
                             resume_from=resume_from)
-    _report_final(results, "px")
-    return True
+    return _report_final(results, "px")
 
 
 def train_hybridnet(project_name, num_epochs, weights_keypoint_detect,
@@ -137,8 +140,7 @@ def train_hybridnet(project_name, num_epochs, weights_keypoint_detect,
     results = trainer.train(train_set, val_set, num_epochs,
                             streamlitWidgets=streamlit_widgets,
                             resume_from=resume_from)
-    _report_final(results, "mm")
-    return True
+    return _report_final(results, "mm")
 
 
 def get_latest_weights_path(project_name, module):

@@ -206,7 +206,7 @@ class EfficientTrackTrainer:
                         targets[1].transpose(0, 2, 3, 1),
                     )
                     step += 1
-                    if guard.should_stop:
+                    if guard.should_stop_global():
                         self._save_preempted(opt_state, epoch)
                         results["preempted"] = True
                         return results
@@ -287,7 +287,7 @@ class EfficientTrackTrainer:
 
                 # A signal during epoch-end work (val loop, checkpoint IO)
                 # must not start another epoch.
-                if guard.should_stop:
+                if guard.should_stop_global():
                     self._save_preempted(opt_state, epoch + 1)
                     results["preempted"] = True
                     return results

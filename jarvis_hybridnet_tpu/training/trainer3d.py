@@ -207,7 +207,7 @@ class HybridNetTrainer:
                     self.params, opt_state, loss, pts = train_step(
                         self.params, opt_state, lr_scale, sub, to_batch(b))
                     step += 1
-                    if guard.should_stop:
+                    if guard.should_stop_global():
                         self._save_preempted(opt_state, epoch)
                         results["preempted"] = True
                         return results
@@ -273,7 +273,7 @@ class HybridNetTrainer:
 
                 # A signal during epoch-end work (val loop, checkpoint IO)
                 # must not start another epoch.
-                if guard.should_stop:
+                if guard.should_stop_global():
                     self._save_preempted(opt_state, epoch + 1)
                     results["preempted"] = True
                     return results

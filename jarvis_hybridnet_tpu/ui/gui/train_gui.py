@@ -104,16 +104,20 @@ def train_all_gui(project, cfg):
                 None if pretrain == "None" else pretrain,
                 streamlit_widgets=widgets)
             if not ok:
-                st.error("Could not find pretraining weights, aborting "
-                         "training!")
+                st.error(f"{mode} training did not complete (missing "
+                         "weights or preempted), aborting the chain!")
                 return
     with st.expander("Expand HybridNet Training", expanded=True):
         st.header("Training HybridNet")
         widgets = _monitor_widgets()
-        train_interface.train_hybridnet(
+        ok = train_interface.train_hybridnet(
             project, int(epochs_hybridnet), "latest", None, "3D_only",
             streamlit_widgets=widgets)
-    st.success("Training finished.")
+    if ok:
+        st.success("Training finished.")
+    else:
+        st.error("HybridNet training did not complete (preempted or "
+                 "failed).")
 
 
 def _train_single_gui(project, cfg, mode):

@@ -229,8 +229,10 @@ def _train_menu():
                 "KeypointDetect", project, ep_k, pretrain):
             clp.error("KeypointDetect training failed, aborting.")
             return
-        train_interface.train_hybridnet(project, ep_h, "latest", None,
-                                        "3D_only")
+        if not train_interface.train_hybridnet(project, ep_h, "latest",
+                                               None, "3D_only"):
+            clp.error("HybridNet training did not complete.")
+            return
         clp.success("Training finished! Your networks are ready for "
                     "prediction, have fun :)")
     elif what in ("CenterDetect", "KeypointDetect"):
@@ -406,9 +408,18 @@ def _pick_cameras_subset(cfg):
         return None
     chosen = []
     for name in names:
-        if _menu(f"Use camera {name}?", ["Yes", "No"]) != "No":
+        answer = _menu(f"Use camera {name}?", ["Yes", "No"])
+        if answer is None:  # 'q' aborts the picker, not "select this one"
+            clp.warning("Camera selection aborted; using all cameras.")
+            return None
+        if answer == "Yes":
             chosen.append(name)
-    return chosen or None
+    if not chosen:
+        # An explicit everything-deselected answer must not silently
+        # invert into "all cameras" (the GUI errors here too).
+        clp.warning("No cameras selected; using all cameras instead.")
+        return None
+    return chosen
 
 
 def _pick_analysis_run(cfg):

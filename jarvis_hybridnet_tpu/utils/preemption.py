@@ -16,9 +16,10 @@ loader state needs saving).
 A second signal while the guard is active restores the previous handler
 and re-raises it, so a stuck save can still be killed the normal way.
 
-Multi-host: every process receives the eviction signal and flips its own
-flag, so all hosts leave the step loop at the same step boundary; only
-process 0 writes the checkpoint (train state is replicated).
+Multi-host: signal delivery is NOT synchronized across hosts, so trainers
+poll ``should_stop_global()`` — a tiny per-boundary all-gather that makes
+every process stop at the same step boundary iff any process saw a
+signal. Only process 0 writes the checkpoint (train state is replicated).
 """
 
 from __future__ import annotations
@@ -65,7 +66,12 @@ class PreemptionGuard:
         if self._stop.is_set():
             # Second signal: give up gracefulness — restore the previous
             # handler and re-deliver, so the process can actually die.
+            # A None previous handler (installed by non-Python code) can't
+            # be re-set from Python, and SIG_IGN would swallow the
+            # re-raise; both fall back to the default action.
             prev = self._prev.get(signum, signal.SIG_DFL)
+            if prev is None or prev == signal.SIG_IGN:
+                prev = signal.SIG_DFL
             signal.signal(signum, prev)
             signal.raise_signal(signum)
             return
@@ -84,6 +90,29 @@ class PreemptionGuard:
     @property
     def should_stop(self) -> bool:
         return self._stop.is_set()
+
+    def should_stop_global(self) -> bool:
+        """Pod-safe stop check: all processes agree at the same boundary.
+
+        Signal delivery is not synchronized across hosts, so a local flag
+        can flip between different hosts' step boundaries; a host that
+        dispatched one more step would then hang in that step's gradient
+        all-reduce while the others have left the loop (and if that host
+        is process 0, no checkpoint gets written). Every process calls
+        this at every step/epoch boundary: with >1 process it all-gathers
+        the local flags (a few bytes over DCN) and stops iff ANY process
+        saw a signal — the agreement is itself the synchronization point.
+        """
+        import jax
+
+        if jax.process_count() == 1:
+            return self.should_stop
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray([self.should_stop]))
+        return bool(np.asarray(flags).any())
 
 
 def is_primary_host() -> bool:

@@ -189,3 +189,24 @@ def test_analyze_cameras_subset_no_dataset(monkeypatch, tmp_path, capsys):
     _script(monkeypatch, ["2"])  # opt into subsetting
     assert interactive_cli._pick_cameras_subset(cfg) is None
     assert "using all" in capsys.readouterr().out
+
+
+def test_analyze_cameras_subset_empty_and_abort(monkeypatch, tmp_path,
+                                                reference_dir, capsys):
+    """Deselecting every camera must not silently invert into 'all
+    cameras' without a message, and 'q' mid-picker aborts to all cameras
+    instead of counting as a selection (review r3 findings)."""
+    from jarvis_hybridnet_tpu.config.defaults import get_default_cfg
+
+    cfg = get_default_cfg()
+    cfg.PARENT_DIR = str(tmp_path)
+    cfg.DATASET.DATASET_3D = str(
+        reference_dir / "datasets" / "Example_Dataset")
+    # opt in, answer No for all 12 cameras -> warned fall-back to all
+    _script(monkeypatch, ["2"] + ["2"] * 12)
+    assert interactive_cli._pick_cameras_subset(cfg) is None
+    assert "No cameras selected" in capsys.readouterr().out
+    # opt in, select first camera, then quit -> abort, use all
+    _script(monkeypatch, ["2", "1", "q"])
+    assert interactive_cli._pick_cameras_subset(cfg) is None
+    assert "aborted" in capsys.readouterr().out

@@ -229,31 +229,29 @@ def test_plan_inference_devices():
     TPU.SHARD_CAMERAS is rejected (review r3 finding: the camera factor
     leaked into the data axis and broke the MESH_DATA_AXIS=1 ->
     single-device AOT contract)."""
-    from jarvis_hybridnet_tpu.prediction.predict3d import (
-        _plan_inference_devices,
-    )
+    from jarvis_hybridnet_tpu.parallel.mesh import plan_inference_devices
 
     devs = list(range(8))  # stand-ins for jax devices
     # infeasible camera sharding (12 % 5 != 0) with a cap of 1: must
     # stay single-device, not keep 5 devices on the data axis
-    d, n_cam = _plan_inference_devices(devs, n_data_cap=1, n_cam=5,
-                                       num_cameras=12)
+    d, n_cam = plan_inference_devices(devs, n_data_cap=1, n_cam=5,
+                                      num_cameras=12)
     assert len(d) == 1 and n_cam == 1
     # feasible camera sharding with a cap: cap * n_cam devices
-    d, n_cam = _plan_inference_devices(devs, n_data_cap=2, n_cam=2,
-                                       num_cameras=12)
+    d, n_cam = plan_inference_devices(devs, n_data_cap=2, n_cam=2,
+                                      num_cameras=12)
     assert len(d) == 4 and n_cam == 2
     # uncapped, feasible
-    d, n_cam = _plan_inference_devices(devs, n_data_cap=-1, n_cam=2,
-                                       num_cameras=12)
+    d, n_cam = plan_inference_devices(devs, n_data_cap=-1, n_cam=2,
+                                      num_cameras=12)
     assert len(d) == 8 and n_cam == 2
     # uncapped, device count not divisible by n_cam: drop camera sharding
-    d, n_cam = _plan_inference_devices(devs[:6], n_data_cap=-1, n_cam=4,
-                                       num_cameras=12)
+    d, n_cam = plan_inference_devices(devs[:6], n_data_cap=-1, n_cam=4,
+                                      num_cameras=12)
     assert len(d) == 6 and n_cam == 1
     # cap larger than the host: everything stays on the data axis
-    d, n_cam = _plan_inference_devices(devs, n_data_cap=16, n_cam=1,
-                                       num_cameras=12)
+    d, n_cam = plan_inference_devices(devs, n_data_cap=16, n_cam=1,
+                                      num_cameras=12)
     assert len(d) == 8 and n_cam == 1
 
 
