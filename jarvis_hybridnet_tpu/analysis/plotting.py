@@ -3,7 +3,9 @@
 Equivalent of the reference plotting module
 (jarvis/analysis/plotting.py:18-194): masked euclidean-mm error histogram +
 boxplot (median in the legend), per-keypoint mean bars, and per-keypoint
-histograms, each saved as PNGs next to the CSVs.
+histograms, each saved as PNGs next to the CSVs. Figure geometry, titles
+and seaborn styling are part of the output-compatibility contract (users
+compare these PNGs across tools), so those constants match the reference.
 """
 
 from __future__ import annotations
@@ -13,14 +15,26 @@ import os
 import numpy as np
 
 
-def _load_points(path):
-    pointsGT = np.genfromtxt(
-        os.path.join(path, "points_GroundTruth.csv"), delimiter=",")
-    pointsGT = pointsGT.reshape(-1, pointsGT.shape[1] // 3, 3)
-    pointsNet = np.genfromtxt(
-        os.path.join(path, "points_HybridNet.csv"), delimiter=",")
-    pointsNet = pointsNet.reshape(-1, pointsNet.shape[1] // 3, 3)
-    return pointsGT, pointsNet
+def _read_points_csv(path: str) -> np.ndarray:
+    """(frames, joints, 3) float array from a flat x,y,z-triplet CSV."""
+    flat = np.genfromtxt(path, delimiter=",")
+    return flat.reshape(-1, flat.shape[1] // 3, 3)
+
+
+def _load_points(run_dir: str):
+    gt = _read_points_csv(os.path.join(run_dir, "points_GroundTruth.csv"))
+    net = _read_points_csv(os.path.join(run_dir, "points_HybridNet.csv"))
+    return gt, net
+
+
+def _masked_distances_mm(pred, gt, cutoff=-1) -> np.ndarray:
+    """Flat per-labeled-joint euclidean errors; unlabeled GT rows (all-zero
+    triplets) are dropped, values above ``cutoff`` are clamped to it."""
+    d = np.linalg.norm(pred - gt, axis=2)
+    d = d[gt.sum(axis=2) != 0]
+    if cutoff != -1:
+        d = np.minimum(d, cutoff)
+    return d.reshape(-1)
 
 
 def _setup_style():
@@ -32,82 +46,84 @@ def _setup_style():
     return sns
 
 
-def plot_error_histogram(path, additional_data={}, cutoff=-1,
+def _hist_box_figure(plt, sns, frame):
+    """The shared histogram-over-boxplot layout (A4-width golden ratio)."""
+    fig, (ax_hist, ax_box) = plt.subplots(
+        2, sharex=True, gridspec_kw={"height_ratios": (1, 0.2)},
+        figsize=(6.92913, 6.92913 / 1.618),
+    )
+    sns.boxplot(data=frame, fliersize=0, ax=ax_box, orient="h")
+    sns.histplot(data=frame, ax=ax_hist, element="step", alpha=0.1)
+    return fig, ax_hist, ax_box
+
+
+def plot_error_histogram(path, additional_data=None, cutoff=-1,
                          interactive=True):
     import matplotlib.pyplot as plt
     import pandas as pd
 
     sns = _setup_style()
-    pointsGT, pointsNet = _load_points(path)
-    pointsList = [pointsNet]
-    labels = ["JARVIS"]
-    for name, csv_path in additional_data.items():
-        labels.append(name)
-        pts = np.genfromtxt(csv_path, delimiter=",")
-        pointsList.append(pts.reshape(-1, pts.shape[1] // 3, 3))
+    gt, net = _load_points(path)
 
-    f, (ax_hist, ax_box) = plt.subplots(
-        2, sharex=True, gridspec_kw={"height_ratios": (1, 0.2)},
-        figsize=(6.92913, 6.92913 / 1.618),
-    )
+    errors = {"JARVIS": _masked_distances_mm(net, gt, cutoff)}
+    for name, csv_path in (additional_data or {}).items():
+        errors[name] = _masked_distances_mm(
+            _read_points_csv(csv_path), gt, cutoff)
+    frame = pd.DataFrame(errors)
+
+    fig, ax_hist, ax_box = _hist_box_figure(plt, sns, frame)
     plt.suptitle("Euclidean Distance to Ground Truth across all joints")
-    distances_l = {}
-    for label, points in zip(labels, pointsList):
-        distances = np.sqrt(np.sum((points - pointsGT) ** 2, axis=2))
-        mask = np.sum(pointsGT, axis=2)
-        distances = distances[mask != 0]
-        if cutoff != -1:
-            distances[distances > cutoff] = cutoff
-        distances_l[label] = distances.reshape(-1)
-    distances_pd = pd.DataFrame(distances_l)
-
-    sns.boxplot(data=distances_pd, fliersize=0, ax=ax_box, orient="h")
-    sns.histplot(data=distances_pd, ax=ax_hist, element="step", alpha=0.1)
-    legend = [
-        f"{lab} ({np.median(distances_l[lab]):.2f} mm)"
-        for lab in reversed(labels)
-    ]
-    ax_hist.legend(labels=legend, frameon=False)
+    ax_hist.legend(
+        labels=[f"{name} ({np.median(errors[name]):.2f} mm)"
+                for name in reversed(list(errors))],
+        frameon=False,
+    )
     plt.xlabel("Deviation from manual annotations [mm]")
     if cutoff != -1:
+        # last tick reads ">cutoff" because values were clamped, not cut
         step = 2 if cutoff < 15 else 5
         plt.xlim(0, cutoff + 0.1)
-        x_labels = [str(i) for i in range(0, cutoff, step)] + [f">{cutoff}"]
-        plt.xticks(list(step * np.arange(len(x_labels) - 1)) + [cutoff])
-        ax_box.set_xticklabels(x_labels)
+        tick_names = [str(i) for i in range(0, cutoff, step)] + [f">{cutoff}"]
+        plt.xticks(list(step * np.arange(len(tick_names) - 1)) + [cutoff])
+        ax_box.set_xticklabels(tick_names)
     plt.savefig(os.path.join(path, "error_histogram.png"))
     if interactive:
         plt.show()
-    return f
+    return fig
+
+
+def _load_project_cfg(project_name):
+    from ..config.project_manager import ProjectManager
+
+    pm = ProjectManager()
+    pm.load(project_name)
+    return pm.get_cfg()
 
 
 def plot_error_per_keypoint(path, project_name, interactive=True):
     import matplotlib.pyplot as plt
 
-    from ..config.project_manager import ProjectManager
-
     _setup_style()
-    pm = ProjectManager()
-    pm.load(project_name)
-    cfg = pm.get_cfg()
+    cfg = _load_project_cfg(project_name)
 
     fig = plt.figure()
     plt.subplots_adjust(left=0.1, right=0.9, top=0.9, bottom=0.3)
     plt.ylabel("Mean Deviation from manual annotations [mm]")
     plt.suptitle("Euclidean Distance to Ground Truth per Joint")
 
-    pointsGT, pointsNet = _load_points(path)
-    J = pointsNet.shape[1]
-    distances = np.sqrt(np.sum((pointsNet - pointsGT) ** 2, axis=2))
-    mask = np.sum(pointsGT, axis=2) == 0
-    distances = np.ma.array(distances, mask=mask)
+    gt, net = _load_points(path)
+    num_joints = net.shape[1]
+    # masked mean: a joint never labeled in GT contributes no bar height
+    distances = np.ma.array(
+        np.linalg.norm(net - gt, axis=2), mask=gt.sum(axis=2) == 0)
     joint_means = np.ma.mean(distances, axis=0)
 
     cmap = plt.colormaps.get_cmap("jet")
-    for i in range(J):
-        plt.bar(i, joint_means[i], width=0.8, color=cmap(i / J))
-    plt.xticks([r + 0.1 for r in range(J)],
-               [cfg.KEYPOINT_NAMES[i] for i in range(J)], rotation=90)
+    for j in range(num_joints):
+        plt.bar(j, joint_means[j], width=0.8, color=cmap(j / num_joints))
+    plt.xticks([j + 0.1 for j in range(num_joints)],
+               [cfg.KEYPOINT_NAMES[j] for j in range(num_joints)],
+               rotation=90)
     plt.savefig(os.path.join(path, "error_per_joint.png"))
     if interactive:
         plt.show()
@@ -119,44 +135,29 @@ def plot_error_histogram_per_keypoint(path, project_name, cutoff=-1,
     import matplotlib.pyplot as plt
     import pandas as pd
 
-    from ..config.project_manager import ProjectManager
-
     sns = _setup_style()
-    pm = ProjectManager()
-    pm.load(project_name)
-    cfg = pm.get_cfg()
+    cfg = _load_project_cfg(project_name)
 
-    os.makedirs(os.path.join(path, "keypoint_histograms"), exist_ok=True)
-    pointsGT, pointsNet = _load_points(path)
+    hist_dir = os.path.join(path, "keypoint_histograms")
+    os.makedirs(hist_dir, exist_ok=True)
+    gt, net = _load_points(path)
 
-    J = len(cfg.KEYPOINT_NAMES)
-    grid_h = int(np.sqrt(J))
-    grid_w = int(np.ceil(J / grid_h))
-    f, axs = plt.subplots(grid_h, grid_w)
+    num_joints = len(cfg.KEYPOINT_NAMES)
+    grid_h = int(np.sqrt(num_joints))
+    grid_w = int(np.ceil(num_joints / grid_h))
+    overview, axs = plt.subplots(grid_h, grid_w)
 
-    for k in range(J):
-        distances = np.sqrt(
-            np.sum((pointsNet[:, k] - pointsGT[:, k]) ** 2, axis=1))
-        mask = np.sum(pointsGT[:, k], axis=1)
-        distances = distances[mask != 0]
-        if cutoff != -1:
-            distances[distances > cutoff] = cutoff
-        distances_pd = pd.DataFrame(
-            {cfg.KEYPOINT_NAMES[k]: distances.reshape(-1)})
-
-        sns.histplot(data=distances_pd, ax=axs[k // grid_w, k % grid_w],
+    for j, name in enumerate(cfg.KEYPOINT_NAMES):
+        frame = pd.DataFrame(
+            {name: _masked_distances_mm(net[:, j:j + 1], gt[:, j:j + 1],
+                                        cutoff)})
+        # tile in the overview grid + a standalone hist/box PNG per joint
+        sns.histplot(data=frame, ax=axs[j // grid_w, j % grid_w],
                      element="step", alpha=0.1)
-
-        fig, (ax_hist, ax_box) = plt.subplots(
-            2, sharex=True, gridspec_kw={"height_ratios": (1, 0.2)},
-            figsize=(6.92913, 6.92913 / 1.618),
-        )
-        sns.boxplot(data=distances_pd, fliersize=0, ax=ax_box, orient="h")
-        sns.histplot(data=distances_pd, ax=ax_hist, element="step", alpha=0.1)
-        fig.savefig(os.path.join(path, "keypoint_histograms",
-                                 f"{cfg.KEYPOINT_NAMES[k]}.png"))
+        fig, _, _ = _hist_box_figure(plt, sns, frame)
+        fig.savefig(os.path.join(hist_dir, f"{name}.png"))
         plt.close(fig)
 
     if interactive:
         plt.show()
-    return f
+    return overview
