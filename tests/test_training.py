@@ -255,6 +255,38 @@ def test_preemption_guard_unit():
     assert signal.getsignal(signal.SIGTERM) is before
 
 
+def test_preemption_stop_is_pod_wide(monkeypatch):
+    """should_stop_global must stop EVERY process when any one saw the
+    signal (signal delivery is unsynchronized across hosts), and must not
+    pay an all-gather in single-process runs."""
+    import signal
+
+    import jax
+    from jax.experimental import multihost_utils
+
+    from jarvis_hybridnet_tpu.utils.preemption import PreemptionGuard
+
+    # single process: plain local flag, no collective
+    def boom(*a, **k):
+        raise AssertionError("single-process path must not all-gather")
+
+    monkeypatch.setattr(multihost_utils, "process_allgather", boom)
+    with PreemptionGuard() as guard:
+        assert not guard.should_stop_global()
+        signal.raise_signal(signal.SIGTERM)
+        assert guard.should_stop_global()
+
+    # simulated 2-process pod: the OTHER process saw the signal, ours
+    # did not — the gathered flags must still stop us
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(
+        multihost_utils, "process_allgather",
+        lambda local: np.stack([np.asarray(local), np.asarray([True])]))
+    with PreemptionGuard() as guard:
+        assert not guard.should_stop
+        assert guard.should_stop_global()
+
+
 def test_trainer2d_preemption_resume(project, monkeypatch):
     """SIGTERM mid-training (the TPU-fleet preemption path) saves a full
     resumable train state at the next step boundary and returns with
