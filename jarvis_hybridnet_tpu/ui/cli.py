@@ -28,12 +28,27 @@ from ..utils.param_classes import (
 
 
 class OrderedGroup(click.Group):
+    """Group preserving declaration order, resolving names
+    case-insensitively: the reference documents camelCase commands
+    (``jarvis predict predict2D``) but click >= 8 lowercases undeclared
+    command names, so reference users arrive with either spelling."""
+
     def __init__(self, name=None, commands=None, **attrs):
         super().__init__(name, commands, **attrs)
         self.commands = commands or collections.OrderedDict()
 
     def list_commands(self, ctx):
         return self.commands
+
+    def get_command(self, ctx, cmd_name):
+        cmd = super().get_command(ctx, cmd_name)
+        if cmd is not None:
+            return cmd
+        folded = cmd_name.lower()
+        for name in self.commands:
+            if name.lower() == folded:
+                return super().get_command(ctx, name)
+        return None
 
 
 @click.group(cls=OrderedGroup)
@@ -90,7 +105,7 @@ def create_project(project_name, dataset2d, dataset3d):
 
 
 # ---------------------------------------------------------------- train ---
-@cli.group()
+@cli.group(cls=OrderedGroup)
 def train():
     """Training commands, more info: 'jarvis train --help'."""
 
@@ -195,7 +210,7 @@ def train_all(project_name, num_epochs_center, num_epochs_keypoint,
 
 
 # -------------------------------------------------------------- predict ---
-@cli.group()
+@cli.group(cls=OrderedGroup)
 def predict():
     """Prediction commands, more info: 'jarvis predict --help'."""
 
@@ -252,7 +267,7 @@ def predict3d_cmd(project_name, recording_path, weights_center_detect,
 
 
 # ------------------------------------------------------------ visualize ---
-@cli.group()
+@cli.group(cls=OrderedGroup)
 def visualize():
     """Visualize commands, more info: 'jarvis visualize --help'."""
 
@@ -347,7 +362,7 @@ def plot_time_slices(csv_file, filename, start_frame, num_frames,
 
 
 # -------------------------------------------------------------- analyze ---
-@cli.group()
+@cli.group(cls=OrderedGroup)
 def analyze():
     """Analysis commands, more info: 'jarvis analyze --help'."""
 

@@ -146,3 +146,17 @@ def test_skeleton_coloring(reference_dir):
     assert len(line_idxs) == 23
     # finger chains get distinct colors; at least 5 distinct colors
     assert len({tuple(c) for c in colors}) >= 5
+
+
+def test_cli_commands_case_insensitive():
+    """Reference users arrive with either spelling: the docs say
+    'jarvis predict predict2D' but click >= 8 lowercases the reference's
+    undeclared command names to 'predict2d' — both must resolve."""
+    for args in (["predict", "predict2d", "--help"],
+                 ["predict", "PREDICT3D", "--help"],
+                 ["visualize", "create-videos2d", "--help"],
+                 ["train", "centerdetect", "--help"]):
+        result = CliRunner().invoke(cli, args)
+        assert result.exit_code == 0, (args, result.output)
+    result = CliRunner().invoke(cli, ["predict", "nonsense"])
+    assert result.exit_code != 0

@@ -29,3 +29,36 @@ def test_missing_dataset_flagged():
     cfg.PARENT_DIR = "/nonexistent"
     cfg.DATASET.DATASET_2D = "nope"
     assert any("Dataset2D" in p for p in check_config(cfg, "CenterDetect"))
+
+
+def test_config_key_parity_with_reference():
+    """Every config leaf of the reference's yacs defaults
+    (/root/reference/jarvis/config/config.py) must exist in our default
+    tree — a user's existing project config.yaml must merge cleanly."""
+    import os
+    import re
+
+    ref_path = "/root/reference/jarvis/config/config.py"
+    if not os.path.isfile(ref_path):
+        import pytest
+
+        pytest.skip("reference tree not available")
+    leaves = set()
+    with open(ref_path) as f:
+        for m in re.finditer(r"_C\.([A-Z_0-9.]+)\s*=\s*(.+)", f.read()):
+            if "CN()" not in m.group(2):
+                leaves.add(m.group(1))
+    assert len(leaves) > 40  # the regex found the real key set
+
+    def flat(node, prefix=""):
+        out = set()
+        for k, v in node.items():
+            key = f"{prefix}{k}"
+            if hasattr(v, "items"):
+                out |= flat(v, key + ".")
+            else:
+                out.add(key)
+        return out
+
+    ours = flat(get_default_cfg())
+    assert leaves - ours == set(), sorted(leaves - ours)
