@@ -18,7 +18,6 @@ The reference is single-GPU; this is new TPU-native capability
 
 from __future__ import annotations
 
-import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..prediction.predictor2d import build_predict2d

@@ -22,7 +22,6 @@ import numpy as np
 import optax
 from tqdm import tqdm
 
-from ..dataset.loader import DataLoader
 from ..models.efficienttrack import EfficientTrackBackbone
 from ..utils import clp
 from ..utils.logger import AverageMeter, NetLogger

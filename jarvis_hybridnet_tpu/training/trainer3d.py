@@ -18,7 +18,6 @@ import numpy as np
 import optax
 from tqdm import tqdm
 
-from ..dataset.loader import DataLoader
 from ..models.hybridnet import HybridNetBackbone, hybridnet_mse_loss
 from ..utils import clp
 from ..utils.logger import AverageMeter, NetLogger
