@@ -22,6 +22,7 @@ prefetch queue lets host data building overlap device compute.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from collections import deque
@@ -33,7 +34,10 @@ _FORK_POOL_DATASET = None
 
 # Max seconds to wait for one batch from the fork pool before declaring a
 # worker dead (a killed worker's in-flight task is silently lost by Pool).
-_WORKER_DEADLINE_S = 300.0
+# Override with JARVIS_WORKER_DEADLINE_S for hosts where one batch
+# legitimately takes longer (cold NFS, huge batches); 0 disables the
+# deadman and restores unbounded waiting.
+_WORKER_DEADLINE_S = float(os.environ.get("JARVIS_WORKER_DEADLINE_S", 300.0))
 
 
 def _reseed_forked_rngs(dataset, epoch_seed: int) -> None:
@@ -128,10 +132,23 @@ class DataLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
         self.num_workers = max(0, int(num_workers))
         assert worker_mode in ("thread", "process"), worker_mode
         self.worker_mode = worker_mode if self.num_workers else "thread"
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the ABSOLUTE epoch the next ``__iter__`` belongs to.
+
+        Shuffle order and fork-pool augmentation seeds derive from
+        ``(seed, epoch)``, not from a stateful RNG: a run resumed at epoch
+        k (``--resume latest`` after preemption) must see epoch k's
+        permutation and augmentation streams, not replay epoch 0's.
+        Trainers call this at every epoch top; plain iteration without it
+        still advances one epoch per ``__iter__``.
+        """
+        self._epoch = int(epoch)
 
     def __len__(self):
         n = len(self.dataset)
@@ -140,9 +157,11 @@ class DataLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self):
+        epoch_rng = np.random.default_rng((self.seed, self._epoch))
+        self._epoch += 1
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            self.rng.shuffle(order)
+            epoch_rng.shuffle(order)
         batches = [
             order[i: i + self.batch_size]
             for i in range(0, len(order), self.batch_size)
@@ -186,10 +205,10 @@ class DataLoader:
             # jax/XLA, so the usual fork-after-backend-init hazards don't
             # apply to the worker loop
             ctx = mp.get_context("fork")
-            # a fresh seed every epoch: the parent's loader RNG advances
-            # here, so re-forked pools never replay a previous epoch's
-            # augmentation streams
-            epoch_seed = int(self.rng.integers(2**31 - 1))
+            # a fresh seed every epoch, derived from the ABSOLUTE epoch:
+            # re-forked pools never replay a previous epoch's augmentation
+            # streams, including across preemption resumes (set_epoch)
+            epoch_seed = int(epoch_rng.integers(2**31 - 1))
             pool_proc = ctx.Pool(self.num_workers,
                                  initializer=_fork_worker_init,
                                  initargs=(self.dataset, epoch_seed))
@@ -218,7 +237,8 @@ class DataLoader:
                             return result.get(timeout=1.0)
                         except mp.TimeoutError:
                             waited += 1.0
-                            if waited >= _WORKER_DEADLINE_S:
+                            if _WORKER_DEADLINE_S and \
+                                    waited >= _WORKER_DEADLINE_S:
                                 raise RuntimeError(
                                     "dataloader worker produced no batch "
                                     f"for {int(waited)}s — a forked worker "

@@ -161,6 +161,12 @@ class MultiHostLoader:
         )
         self._epoch = 0
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the ABSOLUTE epoch of the next ``__iter__`` (same contract
+        as ``dataset.loader.DataLoader.set_epoch``): resumed runs must see
+        epoch k's globally-agreed permutation, not replay epoch 0's."""
+        self._epoch = int(epoch)
+
     def __len__(self):
         return len(self.dataset) // self.global_batch_size
 
@@ -202,7 +208,8 @@ class MultiHostLoader:
         ])
 
     def __iter__(self):
-        order = self._epoch_order(self._epoch)
+        epoch = self._epoch
+        order = self._epoch_order(epoch)
         self._epoch += 1
         local_idx = self._local_indices(order)
 
@@ -212,9 +219,13 @@ class MultiHostLoader:
             shuffle=False,
             drop_last=True,
             prefetch=self.prefetch,
+            # distinct per process AND per absolute epoch so fork-pool
+            # augmentation streams never repeat across hosts or resumes
+            seed=self.seed + 7919 * (self._pi + 1),
             num_workers=self.num_workers,
             worker_mode=self.worker_mode,
         )
+        local.set_epoch(epoch)
         for batch in local:
             yield self._globalize(batch)
 

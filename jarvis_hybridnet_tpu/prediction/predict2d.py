@@ -27,7 +27,21 @@ from .loaders import make_predictor2d
 from .video_io import open_single_video_reader
 
 
+def _pod_identity(params):
+    """(process_index, process_count); params override the jax runtime
+    values (simulated-pod tests)."""
+    import jax
+
+    pi = getattr(params, "process_index", None)
+    pc = getattr(params, "process_count", None)
+    pi = jax.process_index() if pi is None else int(pi)
+    pc = jax.process_count() if pc is None else int(pc)
+    return pi, pc
+
+
 def predict2D(params: Predict2DParams) -> str | None:
+    import jax
+
     project = ProjectManager()
     if not project.load(params.project_name):
         clp.error(f"Could not load project: {params.project_name}! Aborting...")
@@ -35,13 +49,28 @@ def predict2D(params: Predict2DParams) -> str | None:
     cfg = project.cfg
     compile_cache.configure(cfg, params.trt_mode)
 
-    params.output_dir = os.path.join(
-        project.parent_dir, cfg.PROJECTS_ROOT_PATH, params.project_name,
-        "predictions", "predictions2D",
-        f'Predictions_2D_{time.strftime("%Y%m%d-%H%M%S")}',
-    )
+    pi, pc = _pod_identity(params)
+
+    if not params.output_dir:
+        stamp = time.strftime("%Y%m%d-%H%M%S")
+        if jax.process_count() > 1:
+            # all processes must agree on the run directory name
+            from jax.experimental import multihost_utils
+
+            stamp = time.strftime(
+                "%Y%m%d-%H%M%S",
+                time.localtime(float(multihost_utils.broadcast_one_to_all(
+                    np.asarray(time.time())
+                ))),
+            )
+        params.output_dir = os.path.join(
+            project.parent_dir, cfg.PROJECTS_ROOT_PATH, params.project_name,
+            "predictions", "predictions2D",
+            f"Predictions_2D_{stamp}",
+        )
     os.makedirs(params.output_dir, exist_ok=True)
-    _write_info(params)
+    if pi == 0:
+        _write_info(params)
 
     predictor = None  # built lazily once the frame size is known
 
@@ -88,11 +117,34 @@ def predict2D(params: Predict2DParams) -> str | None:
         if multiple_videos:
             stem = os.path.basename(recording_path).split(".")[0]
             csv_name = f"{stem}_{csv_name}"
+        # pod streaming: each host decodes and predicts only its own
+        # contiguous time slice of this video (mirrors predict3D's
+        # _pod_frame_shard), writes a CSV shard, rank 0 merges below
+        frame_start, number_frames, shard_suffix = (
+            params.frame_start, params.number_frames, "")
+        if pc > 1:
+            from ..parallel.multihost import process_frame_range
+            from .predict3d import _merge_pod_shards
+            from .video_io import probe_frame_count
+
+            total = params.number_frames
+            if total == -1:
+                probed = probe_frame_count(recording_path)
+                if probed <= 0:
+                    raise ValueError(
+                        "Pod-sharded prediction needs a total frame count "
+                        "to split, but the container reports none — pass "
+                        "number_frames explicitly.")
+                total = probed - params.frame_start
+            lo, hi = process_frame_range(total, pi, pc)
+            frame_start = params.frame_start + lo
+            number_frames = hi - lo
+            shard_suffix = f".part{pi:05d}"
         reader = open_single_video_reader(
             recording_path,
             backend=cfg.get("TPU", {}).get("DECODE_BACKEND"),
-            frame_start=params.frame_start,
-            number_frames=params.number_frames,
+            frame_start=frame_start,
+            number_frames=number_frames,
             batch_size=batch,
         )
         if predictor is None:
@@ -117,12 +169,16 @@ def predict2D(params: Predict2DParams) -> str | None:
                         predictor, np.zeros(shape, np.uint8), artifact
                     )
                     clp.info(f"Exported compiled predictor: {artifact}")
-        with open(os.path.join(params.output_dir, csv_name), "w",
-                  newline="") as csvfile:
-            writer = csv.writer(csvfile, delimiter=",", quotechar='"',
-                                quoting=csv.QUOTE_MINIMAL)
+        def write_header(writer):
             if len(cfg.KEYPOINT_NAMES) == num_joints:
                 _write_header(writer, cfg, per_joint=("x", "y", "confidence"))
+
+        with open(os.path.join(params.output_dir, csv_name + shard_suffix),
+                  "w", newline="") as csvfile:
+            writer = csv.writer(csvfile, delimiter=",", quotechar='"',
+                                quoting=csv.QUOTE_MINIMAL)
+            if not shard_suffix:
+                write_header(writer)
 
             done = 0
             bar = tqdm(total=reader.number_frames)
@@ -144,6 +200,15 @@ def predict2D(params: Predict2DParams) -> str | None:
                 reader.recycle(pending[2])
             bar.close()
         reader.release()
+        if shard_suffix:
+            if jax.process_count() > 1:
+                # real pod: wait for every host's shard before merging
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("predict2D_shards")
+            if pi == 0 and getattr(params, "merge_shards", True):
+                _merge_pod_shards(params.output_dir, csv_name, pc,
+                                  write_header)
     return params.output_dir
 
 

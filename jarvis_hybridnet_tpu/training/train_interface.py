@@ -41,6 +41,12 @@ def _report_final(results, acc_unit):
         clp.warning("Training was preempted; a resumable train state was "
                     "saved. Continue with --resume latest.")
         return False
+    if results.get("already_complete"):
+        # resumed past the final epoch: the run WAS finished; don't print
+        # the zeroed meters as if they were real final stats
+        clp.info("Nothing to train: the resumed state had already "
+                 "completed all epochs.")
+        return True
     clp.success("Successfully finished training!")
     print("Final Stats:")
     print(f'Training Loss: {results["train_loss"]}')

@@ -170,6 +170,12 @@ class HybridNetTrainer:
                 checkpoints.load_train_state(resume_from, opt_state)
             clp.info(f"Resumed training state from {resume_from} "
                      f"(epoch {start_epoch})")
+            if start_epoch >= num_epochs:
+                clp.warning(
+                    f"Resumed state is already at epoch {start_epoch} of "
+                    f"{num_epochs}: training was complete; nothing to do.")
+                return {"train_loss": 0, "train_acc": 0, "val_loss": 0,
+                        "val_acc": 0, "already_complete": True}
 
         rng = jax.random.PRNGKey(2)
         lr_scale = 1.0
@@ -180,7 +186,7 @@ class HybridNetTrainer:
         step = 0
 
         from ..utils.st_monitor import StreamlitTrainingMonitor
-        from ..utils.preemption import PreemptionGuard
+        from ..utils.preemption import POD_POLL_STRIDE, PreemptionGuard
 
         monitor = StreamlitTrainingMonitor(streamlitWidgets, "HybridNet",
                                            acc_unit="mm")
@@ -200,13 +206,16 @@ class HybridNetTrainer:
         guard = PreemptionGuard()
         with guard:
             for epoch in range(start_epoch, num_epochs):
+                # shuffle/augmentation streams follow the ABSOLUTE epoch,
+                # so preemption resumes never replay early epochs' orders
+                train_loader.set_epoch(epoch)
                 bar = tqdm(train_loader, total=steps_per_epoch)
                 for count, b in enumerate(bar):
                     rng, sub = jax.random.split(rng)
                     self.params, opt_state, loss, pts = train_step(
                         self.params, opt_state, lr_scale, sub, to_batch(b))
                     step += 1
-                    if guard.should_stop_global():
+                    if guard.should_stop_global(stride=POD_POLL_STRIDE):
                         self._save_preempted(opt_state, epoch)
                         results["preempted"] = True
                         return results
@@ -271,25 +280,31 @@ class HybridNetTrainer:
                     monitor.epoch(epoch, num_epochs, history)
 
                 # A signal during epoch-end work (val loop, checkpoint IO)
-                # must not start another epoch.
-                if guard.should_stop_global():
+                # must not start another epoch — unless this WAS the last
+                # epoch, in which case training is complete, not preempted.
+                if guard.should_stop_global() and epoch + 1 < num_epochs:
                     self._save_preempted(opt_state, epoch + 1)
                     results["preempted"] = True
                     return results
 
         return results
 
-    def _save_preempted(self, opt_state, epoch: int) -> None:
+    def _save_preempted(self, opt_state, resume_epoch: int) -> None:
         """Preemption path (utils/preemption.py): write a full resumable
-        train state and leave. The interrupted epoch restarts from its
-        beginning on ``resume_from`` (data order is epoch-deterministic)."""
+        train state and leave. ``resume_epoch`` is the epoch a resumed run
+        starts at — the interrupted epoch restarts from its beginning; data
+        order is epoch-deterministic via ``set_epoch``."""
         from ..utils.preemption import is_primary_host
 
         path = os.path.join(self.model_savepath, "train_state.ckpt")
         if is_primary_host():
-            checkpoints.save_train_state(path, self.params, opt_state, epoch)
-        clp.warning(f"Training preempted in epoch {epoch + 1}; resumable "
-                    f"state saved to {path}")
+            checkpoints.save_train_state(path, self.params, opt_state,
+                                         resume_epoch)
+            clp.warning(f"Training preempted; resumable state saved to "
+                        f"{path} (resumes at epoch {resume_epoch + 1})")
+        else:
+            clp.warning("Training preempted; the primary host saves the "
+                        "resumable state.")
 
     def save_checkpoint(self, name: str) -> None:
         checkpoints.save_checkpoint(

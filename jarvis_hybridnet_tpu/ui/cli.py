@@ -203,8 +203,11 @@ def train_all(project_name, num_epochs_center, num_epochs_keypoint,
             pretrain if pretrain != "None" else None):
         return
     click.echo("Training 3D section of HybridNet...")
-    train_interface.train_hybridnet(
-        project_name, num_epochs_hybridnet, "latest", None, "3D_only")
+    if not train_interface.train_hybridnet(
+            project_name, num_epochs_hybridnet, "latest", None, "3D_only"):
+        clp.error("HybridNet training did not complete (preempted or "
+                  "failed).")
+        return
     clp.success("Training finished! Your networks are ready for prediction, "
                 "have fun :)")
 

@@ -39,6 +39,11 @@ class Predict2DParams:
     number_frames: int = -1
     trt_mode: str = "off"
     progress_bar: Any = None
+    # multi-host (pod) streaming: override the jax runtime's process
+    # identity (simulated-pod tests); None -> jax.process_index()/count()
+    process_index: Any = None
+    process_count: Any = None
+    merge_shards: bool = True
 
 
 @dataclass

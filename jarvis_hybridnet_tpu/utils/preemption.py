@@ -17,9 +17,10 @@ A second signal while the guard is active restores the previous handler
 and re-raises it, so a stuck save can still be killed the normal way.
 
 Multi-host: signal delivery is NOT synchronized across hosts, so trainers
-poll ``should_stop_global()`` — a tiny per-boundary all-gather that makes
-every process stop at the same step boundary iff any process saw a
-signal. Only process 0 writes the checkpoint (train state is replicated).
+poll ``should_stop_global()`` — a tiny flag all-gather (strided to every
+``POD_POLL_STRIDE``-th step, unconditional at epoch ends) that makes
+every process stop at the same boundary iff any process saw a signal.
+Only process 0 writes the checkpoint (train state is replicated).
 """
 
 from __future__ import annotations
@@ -33,6 +34,11 @@ from . import clp
 # SIGINT:  lets an interactive Ctrl-C produce a resumable run too.
 DEFAULT_SIGNALS = (signal.SIGTERM, signal.SIGINT)
 
+# In-step cadence for the pod stop collective: at most this many extra
+# steps run after a signal before the pod agrees to stop — far inside any
+# eviction grace window, at 1/16th the per-step DCN cost.
+POD_POLL_STRIDE = 16
+
 
 class PreemptionGuard:
     """Context manager that converts termination signals into a polled
@@ -44,6 +50,7 @@ class PreemptionGuard:
         self._stop = threading.Event()
         self._prev: dict[int, object] = {}
         self._installed = False
+        self._calls = 0  # strided should_stop_global collective gate
 
     # -- context management -------------------------------------------
     def __enter__(self):
@@ -91,7 +98,7 @@ class PreemptionGuard:
     def should_stop(self) -> bool:
         return self._stop.is_set()
 
-    def should_stop_global(self) -> bool:
+    def should_stop_global(self, stride: int = 1) -> bool:
         """Pod-safe stop check: all processes agree at the same boundary.
 
         Signal delivery is not synchronized across hosts, so a local flag
@@ -102,11 +109,21 @@ class PreemptionGuard:
         this at every step/epoch boundary: with >1 process it all-gathers
         the local flags (a few bytes over DCN) and stops iff ANY process
         saw a signal — the agreement is itself the synchronization point.
+
+        ``stride``: on pods, pay the collective only every ``stride``-th
+        call (a per-step DCN round-trip would tax short steps); the call
+        COUNT gates the collective, never the local flag, so every process
+        joins exactly the same collectives. All processes must therefore
+        call this with the same stride sequence at the same boundaries.
+        Single-process runs read the local flag and never pay anything.
         """
         import jax
 
         if jax.process_count() == 1:
             return self.should_stop
+        self._calls += 1
+        if stride > 1 and self._calls % stride:
+            return False
         import numpy as np
         from jax.experimental import multihost_utils
 

@@ -222,3 +222,39 @@ def test_thread_local_generator():
     rng2 = ThreadLocalGenerator(99)
     assert rng.random() == rng2.random()
     assert before != rng.random()
+
+
+def test_loader_epoch_order_follows_absolute_epoch():
+    """Shuffle order derives from (seed, absolute epoch): a resumed run
+    that calls set_epoch(k) sees epoch k's permutation instead of
+    replaying epoch 0's (preemption-resume correctness)."""
+    from jarvis_hybridnet_tpu.dataset.loader import DataLoader
+
+    class Idx:
+        def __len__(self):
+            return 17
+
+        def __getitem__(self, i):
+            return np.asarray([i])
+
+    def epoch_order(loader):
+        return np.concatenate(
+            [np.asarray(b).ravel() for b in loader])
+
+    a = DataLoader(Idx(), batch_size=4, shuffle=True, seed=5,
+                   num_workers=0)
+    e0, e1, e2 = epoch_order(a), epoch_order(a), epoch_order(a)
+    assert not np.array_equal(e0, e1)
+
+    # fresh loader resumed at epoch 1 reproduces epoch 1, then epoch 2
+    b = DataLoader(Idx(), batch_size=4, shuffle=True, seed=5,
+                   num_workers=0)
+    b.set_epoch(1)
+    np.testing.assert_array_equal(epoch_order(b), e1)
+    np.testing.assert_array_equal(epoch_order(b), e2)
+
+    # a different seed gives a different epoch-1 order
+    c = DataLoader(Idx(), batch_size=4, shuffle=True, seed=6,
+                   num_workers=0)
+    c.set_epoch(1)
+    assert not np.array_equal(epoch_order(c), e1)

@@ -226,3 +226,56 @@ def test_pod_shard_rejects_unknown_frame_count(pod_project, monkeypatch):
     )
     with pytest.raises(ValueError, match="number_frames"):
         p3d._pod_frame_shard(params, str(rec))
+
+
+def test_pod_streaming_prediction2d(pod_project, monkeypatch):
+    """predict2D's pod path (mirrors predict3D's): each simulated process
+    decodes only its frame slice of the video, shard CSVs merge on rank 0,
+    and the merged CSV is row-identical to a single-process run."""
+    from jarvis_hybridnet_tpu.prediction import predict2d as p2d
+    from jarvis_hybridnet_tpu.utils.param_classes import Predict2DParams
+
+    root, rec, n_frames = pod_project
+    monkeypatch.setenv("JARVIS_PARENT_DIR", str(root))
+    video = str(next(rec.glob("*.avi")))
+
+    J = 23
+
+    def fake_make(cfg, wc, wk, mesh=None, **kw):
+        def predict(frames):
+            arr = np.asarray(frames)
+            T = arr.shape[0]
+            enc = arr.reshape(T, -1).mean(axis=1)
+            pts = np.tile(enc[:, None, None], (1, J, 2))
+            conf = np.ones((T, J), np.float32)
+            valid = np.ones((T,), bool)
+            return pts, conf, valid
+
+        return predict
+
+    monkeypatch.setattr(p2d, "make_predictor2d", fake_make)
+
+    def run(out_dir, pi=None, pc=None):
+        params = Predict2DParams(
+            project_name="PodProj", recording_path=video,
+            weights_center_detect=None, weights_keypoint_detect=None,
+            output_dir=out_dir, process_index=pi, process_count=pc,
+        )
+        assert p2d.predict2D(params) is not None
+
+    single = str(root / "out2d_single")
+    run(single)
+    with open(os.path.join(single, "data2D.csv")) as f:
+        ref_rows = f.read().splitlines()
+    assert len(ref_rows) == 2 + n_frames
+
+    pod = str(root / "out2d_pod")
+    # rank 0 last: its merge needs every shard present (on a real pod the
+    # sync_global_devices barrier provides this ordering)
+    for pi in (2, 1, 0):
+        run(pod, pi=pi, pc=3)
+    with open(os.path.join(pod, "data2D.csv")) as f:
+        pod_rows = f.read().splitlines()
+    assert pod_rows == ref_rows
+    # shards were consumed by the merge
+    assert not [p for p in os.listdir(pod) if ".part" in p]
