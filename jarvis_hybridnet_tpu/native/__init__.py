@@ -40,9 +40,11 @@ def load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.isfile(_LIB_PATH):
-        if not _build("libjarvis_host.so"):
-            return None
+    # always invoke make: it is a no-op when the .so is newer than the
+    # sources, and rebuilds a stale library after a .cpp edit (checking
+    # only os.path.isfile would silently keep loading the old binary)
+    if not _build("libjarvis_host.so") and not os.path.isfile(_LIB_PATH):
+        return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -72,6 +74,10 @@ def load():
     ]
     lib.jh_pipeline_next.restype = ctypes.c_int32
     lib.jh_pipeline_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.jh_pipeline_next2.restype = ctypes.c_int32
+    lib.jh_pipeline_next2.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+    ]
     lib.jh_pipeline_destroy.restype = None
     lib.jh_pipeline_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
@@ -86,9 +92,11 @@ def load_video():
     if _video_lib is not None or _video_tried:
         return _video_lib
     _video_tried = True
-    if not os.path.isfile(_VIDEO_LIB_PATH):
-        if not _build("libjarvis_video.so"):
-            return None
+    # see load(): make's own timestamp check handles both the missing and
+    # the stale-after-source-edit cases
+    if (not _build("libjarvis_video.so")
+            and not os.path.isfile(_VIDEO_LIB_PATH)):
+        return None
     try:
         lib = ctypes.CDLL(_VIDEO_LIB_PATH)
     except OSError:
@@ -341,8 +349,10 @@ def decode_jpeg(path: str) -> np.ndarray | None:
         return None
     w, h = size
     out = np.empty((h, w, 3), np.uint8)
-    wv = ctypes.c_int32()
-    hv = ctypes.c_int32()
+    # pass the probed dims as expected dims: the decode rejects the file
+    # (instead of overflowing `out`) if it changed between probe and read
+    wv = ctypes.c_int32(w)
+    hv = ctypes.c_int32(h)
     if lib.jh_decode_jpeg_file(
         path.encode(), out.ctypes.data_as(ctypes.c_void_p),
         ctypes.byref(wv), ctypes.byref(hv),
@@ -423,11 +433,20 @@ class FramesetPipeline:
         w = side or self.width
         while True:
             out = np.empty((self.cameras, h, w, 3), np.uint8)
-            idx = self._lib.jh_pipeline_next(
-                self._handle, out.ctypes.data_as(ctypes.c_void_p)
+            ok = ctypes.c_int32()
+            idx = self._lib.jh_pipeline_next2(
+                self._handle, out.ctypes.data_as(ctypes.c_void_p),
+                ctypes.byref(ok),
             )
             if idx < 0:
                 return
+            if ok.value != self.cameras:
+                # zero-filled camera slices would silently corrupt whatever
+                # is computed downstream (validation metrics, crops)
+                raise RuntimeError(
+                    f"frameset {idx}: only {ok.value}/{self.cameras} cameras "
+                    "decoded (missing, corrupt, or wrong-sized image)"
+                )
             yield idx, out
 
     def close(self):

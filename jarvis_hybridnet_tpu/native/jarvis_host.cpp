@@ -10,6 +10,7 @@
 //
 // Build: make -C jarvis_hybridnet_tpu/native   (g++ + libjpeg + pthreads)
 
+#include <csetjmp>
 #include <cstdio>  // must precede jpeglib.h (it needs FILE declared)
 
 #include <jpeglib.h>
@@ -24,21 +25,51 @@
 #include <thread>
 #include <vector>
 
+namespace {
+
+// libjpeg's default error_exit calls exit(), which would kill the whole
+// Python process on one corrupt file; longjmp back to the decode call so
+// it can return an error code instead.
+struct JhJpegError {
+  jpeg_error_mgr mgr;
+  jmp_buf env;
+};
+
+void jh_error_exit(j_common_ptr cinfo) {
+  longjmp(reinterpret_cast<JhJpegError*>(cinfo->err)->env, 1);
+}
+
+void jh_emit_message(j_common_ptr, int) {}  // silence warnings
+
+}  // namespace
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
 // Single JPEG decode: file -> RGB uint8 buffer.
 // Returns 0 on success; fills *width/*height. When out is null, only probes
-// the dimensions. The caller allocates out (width*height*3).
+// the dimensions. When out is non-null and *width/*height are positive on
+// entry, they are the caller's buffer dimensions: a file whose header
+// disagrees is rejected (-3) BEFORE any pixel is written, so a mismatched
+// file can never overflow the caller's (width*height*3) allocation.
 // ---------------------------------------------------------------------------
 int jh_decode_jpeg_file(const char* path, uint8_t* out, int32_t* width,
                         int32_t* height) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
 
+  const int32_t expect_w = out ? *width : 0;
+  const int32_t expect_h = out ? *height : 0;
   jpeg_decompress_struct cinfo;
-  jpeg_error_mgr jerr;
-  cinfo.err = jpeg_std_error(&jerr);
+  JhJpegError jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jh_error_exit;
+  jerr.mgr.emit_message = jh_emit_message;
+  if (setjmp(jerr.env)) {  // any libjpeg fatal error lands here
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return -4;
+  }
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
@@ -53,6 +84,12 @@ int jh_decode_jpeg_file(const char* path, uint8_t* out, int32_t* width,
     jpeg_destroy_decompress(&cinfo);
     fclose(f);
     return 0;
+  }
+  if ((expect_w > 0 && expect_w != *width) ||
+      (expect_h > 0 && expect_h != *height)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return -3;
   }
   jpeg_start_decompress(&cinfo);
   const int stride = cinfo.output_width * cinfo.output_components;
@@ -78,12 +115,11 @@ int jh_decode_batch(const char** paths, int32_t n, uint8_t* out,
   const size_t frame_bytes = static_cast<size_t>(width) * height * 3;
 
   auto worker = [&]() {
-    int32_t w, h;
     while (true) {
       const int32_t i = next.fetch_add(1);
       if (i >= n) return;
-      if (jh_decode_jpeg_file(paths[i], out + frame_bytes * i, &w, &h) == 0 &&
-          w == width && h == height) {
+      int32_t w = width, h = height;  // expected dims: mismatch -> -3
+      if (jh_decode_jpeg_file(paths[i], out + frame_bytes * i, &w, &h) == 0) {
         ok.fetch_add(1);
       }
     }
@@ -102,6 +138,11 @@ int jh_decode_batch(const char** paths, int32_t n, uint8_t* out,
 int jh_decode_crop_batch(const char** paths, int32_t n,
                          const int32_t* centers, int32_t bbox, uint8_t* out,
                          int32_t width, int32_t height, int32_t num_threads) {
+  // an odd bbox's crop window spans [c-bbox/2, c-bbox/2+bbox), one past the
+  // clamp's guarantee; an oversized one makes the clamp bounds cross — both
+  // would read out of the frame buffer (the config layer enforces
+  // bbox % 64 == 0, this guards direct C callers)
+  if (bbox <= 0 || bbox % 2 != 0 || bbox > width || bbox > height) return -1;
   if (num_threads < 1) num_threads = 1;
   std::atomic<int32_t> next(0), ok(0);
   const int32_t hw = bbox / 2;
@@ -109,12 +150,11 @@ int jh_decode_crop_batch(const char** paths, int32_t n,
 
   auto worker = [&]() {
     std::vector<uint8_t> frame(static_cast<size_t>(width) * height * 3);
-    int32_t w, h;
     while (true) {
       const int32_t i = next.fetch_add(1);
       if (i >= n) return;
-      if (jh_decode_jpeg_file(paths[i], frame.data(), &w, &h) != 0 ||
-          w != width || h != height) {
+      int32_t w = width, h = height;  // expected dims: mismatch -> -3
+      if (jh_decode_jpeg_file(paths[i], frame.data(), &w, &h) != 0) {
         continue;
       }
       int32_t cx = centers[2 * i], cy = centers[2 * i + 1];
@@ -151,7 +191,12 @@ struct JhPipeline {
   int32_t width = 0, height = 0;
   int32_t num_threads = 1;
 
-  std::queue<std::pair<int32_t, std::vector<uint8_t>>> ready;
+  struct Item {
+    int32_t index;
+    int32_t ok;  // cameras decoded successfully (< cameras = failure)
+    std::vector<uint8_t> buf;
+  };
+  std::queue<Item> ready;
   std::mutex mu;
   std::condition_variable cv_ready, cv_space;
   size_t max_ready = 2;
@@ -197,22 +242,26 @@ JhPipeline* jh_pipeline_create(const char** paths, int32_t num_items,
       std::vector<const char*> cpaths(p->cameras);
       for (int32_t c = 0; c < p->cameras; ++c)
         cpaths[c] = p->paths[static_cast<size_t>(item) * p->cameras + c].c_str();
+      // jh_decode_*_batch spawn fresh threads per item; at pipeline rates
+      // (tens of items/s) the create/join cost is <1% of the decode time,
+      // not worth a persistent pool
+      int32_t ok;
       if (p->bbox > 0) {
-        jh_decode_crop_batch(cpaths.data(), p->cameras,
-                             p->centers.data() +
-                                 static_cast<size_t>(item) * p->cameras * 2,
-                             p->bbox, buf.data(), p->width, p->height,
-                             p->num_threads);
+        ok = jh_decode_crop_batch(cpaths.data(), p->cameras,
+                                  p->centers.data() +
+                                      static_cast<size_t>(item) * p->cameras * 2,
+                                  p->bbox, buf.data(), p->width, p->height,
+                                  p->num_threads);
       } else {
-        jh_decode_batch(cpaths.data(), p->cameras, buf.data(), p->width,
-                        p->height, p->num_threads);
+        ok = jh_decode_batch(cpaths.data(), p->cameras, buf.data(), p->width,
+                             p->height, p->num_threads);
       }
       std::unique_lock<std::mutex> lk(p->mu);
       p->cv_space.wait(lk, [p]() {
         return p->ready.size() < p->max_ready || p->stop.load();
       });
       if (p->stop.load()) return;
-      p->ready.emplace(item, std::move(buf));
+      p->ready.push(JhPipeline::Item{item, ok < 0 ? 0 : ok, std::move(buf)});
       p->items_done++;
       p->cv_ready.notify_one();
     }
@@ -220,20 +269,28 @@ JhPipeline* jh_pipeline_create(const char** paths, int32_t num_items,
   return p;
 }
 
-// Blocks until the next frameset is decoded; copies it into out.
-// Returns the item index, or -1 when the pipeline is exhausted.
-int32_t jh_pipeline_next(JhPipeline* p, uint8_t* out) {
+// Blocks until the next frameset is decoded; copies it into out and writes
+// the number of successfully decoded cameras to *ok (missing/corrupt/
+// mismatched files leave their slice zero-filled — the caller decides).
+// Returns the item index, or -1 when the pipeline is exhausted or stopped.
+int32_t jh_pipeline_next2(JhPipeline* p, uint8_t* out, int32_t* ok) {
   std::unique_lock<std::mutex> lk(p->mu);
   p->cv_ready.wait(lk, [p]() {
-    return !p->ready.empty() || p->items_done >= p->total_items;
+    return !p->ready.empty() || p->items_done >= p->total_items ||
+           p->stop.load();
   });
   if (p->ready.empty()) return -1;
   auto item = std::move(p->ready.front());
   p->ready.pop();
   p->cv_space.notify_one();
   lk.unlock();
-  std::memcpy(out, item.second.data(), item.second.size());
-  return item.first;
+  std::memcpy(out, item.buf.data(), item.buf.size());
+  if (ok != nullptr) *ok = item.ok;
+  return item.index;
+}
+
+int32_t jh_pipeline_next(JhPipeline* p, uint8_t* out) {
+  return jh_pipeline_next2(p, out, nullptr);
 }
 
 void jh_pipeline_destroy(JhPipeline* p) {

@@ -186,9 +186,15 @@ int decoder_seek(JvDecoder* d, int64_t frame_start) {
   int64_t pos = 0;  // index of the next frame the decoder will produce
   const bool fps_ok =
       st->avg_frame_rate.num > 0 && st->avg_frame_rate.den > 0;
+  // frame index <-> timestamp mappings must be offset by the stream's
+  // start_time: containers whose first pts is nonzero (MPEG-TS) would
+  // otherwise land start_time*fps frames off with no error
+  const int64_t t0 =
+      st->start_time != AV_NOPTS_VALUE ? st->start_time : 0;
   if (fps_ok) {
-    const int64_t ts = av_rescale_q(frame_start, av_inv_q(st->avg_frame_rate),
-                                    st->time_base);
+    const int64_t ts =
+        t0 + av_rescale_q(frame_start, av_inv_q(st->avg_frame_rate),
+                          st->time_base);
     if (av_seek_frame(d->fmt, d->stream_idx, ts, AVSEEK_FLAG_BACKWARD) >= 0) {
       avcodec_flush_buffers(d->dec);
       d->drained = false;
@@ -197,7 +203,7 @@ int decoder_seek(JvDecoder* d, int64_t frame_start) {
       const int64_t bts = d->frame->best_effort_timestamp;
       int64_t landed = -1;
       if (bts != AV_NOPTS_VALUE) {
-        landed = av_rescale_q(bts, st->time_base,
+        landed = av_rescale_q(bts - t0, st->time_base,
                               av_inv_q(st->avg_frame_rate));
       }
       if (landed >= 0 && landed <= frame_start) {
@@ -205,7 +211,7 @@ int decoder_seek(JvDecoder* d, int64_t frame_start) {
       } else {
         // unknown/overshot landing: rewind to the stream start and skip
         // sequentially (always correct, just slower)
-        if (av_seek_frame(d->fmt, d->stream_idx, 0,
+        if (av_seek_frame(d->fmt, d->stream_idx, t0,
                           AVSEEK_FLAG_BACKWARD) < 0) return -21;
         avcodec_flush_buffers(d->dec);
         d->drained = false;
@@ -292,6 +298,13 @@ struct JvPool {
   std::vector<int32_t> assigned;     // batch b -> buffer idx (-1 = handed out)
   std::deque<int32_t> free_bufs;
   std::vector<int64_t> progress;     // per camera; negative-encoded when done
+  // min frame count of any camera that ended early (guarded by mu). No
+  // batch at or beyond it can ever complete, so workers must not claim
+  // ring buffers for them: a camera ending more than one ring-capacity
+  // before the others would otherwise deadlock the pool (survivors block
+  // on buffers the consumer never receives, the emitter waits for the
+  // survivors to finish).
+  int64_t effective_end = 0;
   bool stopped = false;
 
   std::queue<std::pair<int32_t, int32_t>> ready;  // (buffer idx, n frames)
@@ -306,6 +319,7 @@ static int32_t pool_buffer_for(JvPool* p, int64_t b) {
   std::unique_lock<std::mutex> lk(p->mu);
   while (static_cast<int64_t>(p->assigned.size()) <= b) {
     if (p->stopped) return -1;
+    if (b * static_cast<int64_t>(p->T) >= p->effective_end) return -1;
     if (!p->free_bufs.empty()) {
       p->assigned.push_back(p->free_bufs.front());
       p->free_bufs.pop_front();
@@ -336,6 +350,8 @@ static void pool_worker(JvPool* p, std::vector<int32_t> cams) {
         const int32_t c = live[k];
         if (decoder_fetch(p->decs[c]) != 0) {
           std::lock_guard<std::mutex> lk(p->mu);
+          if (p->progress[c] < p->effective_end)
+            p->effective_end = p->progress[c];
           p->progress[c] = -p->progress[c] - 1;  // mark done
           live.erase(live.begin() + k);
           p->cv.notify_all();
@@ -356,6 +372,8 @@ static void pool_worker(JvPool* p, std::vector<int32_t> cams) {
                         low ? lslot + c * low_frame : nullptr, p->LW,
                         p->LH) != 0) {
         std::lock_guard<std::mutex> lk(p->mu);
+        if (p->progress[c] < p->effective_end)
+          p->effective_end = p->progress[c];
         p->progress[c] = -p->progress[c] - 1;  // mark done
         live.erase(live.begin() + k);
         p->cv.notify_all();
@@ -480,6 +498,7 @@ void* jv_pool_create2(const char** paths, int32_t n_cams, int64_t frame_start,
     p->LH = low_h;
   }
   p->progress.assign(n_cams, 0);
+  p->effective_end = p->number_frames;
 
   if (n_threads < 1) n_threads = 1;
   const int32_t K = std::min(n_threads, n_cams);

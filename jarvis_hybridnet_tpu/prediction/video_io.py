@@ -143,6 +143,13 @@ class MultiCameraReader:
         self._n_alloc = prefetch + 1
         self._max_buffers = max(max_buffers, prefetch + 1)
         self._progress = [0] * C  # frames fully written per camera
+        # min frame count of any camera that ended early: no batch at or
+        # beyond it can complete, so decode threads must not claim buffers
+        # for them — one camera ending more than a ring-capacity before
+        # the others would otherwise deadlock the pool (survivors block on
+        # buffers the consumer never receives, the emitter waits for the
+        # survivors)
+        self._effective_end = self._limit
         self._stopped = False
         self._queue: queue.Queue = queue.Queue()
 
@@ -165,6 +172,8 @@ class MultiCameraReader:
         with self._lock:
             while len(self._assigned) <= b:
                 if self._stopped:
+                    return None
+                if b * self.batch_size >= self._effective_end:
                     return None
                 if self._free:
                     self._assigned.append(self._free.pop())
@@ -202,6 +211,8 @@ class MultiCameraReader:
                     if not ret:
                         live.remove(c)
                         with self._lock:
+                            self._effective_end = min(self._effective_end,
+                                                      self._progress[c])
                             self._progress[c] = -self._progress[c] - 1
                             self._lock.notify_all()
                     else:
@@ -219,6 +230,8 @@ class MultiCameraReader:
                 if not ret:
                     live.remove(c)
                     with self._lock:
+                        self._effective_end = min(self._effective_end,
+                                                  self._progress[c])
                         self._progress[c] = -self._progress[c] - 1  # done
                         self._lock.notify_all()
                     continue

@@ -57,6 +57,54 @@ def test_decode_crop_batch(lib_ok, jpeg_paths):
     assert np.array_equal(out2[0], full[:256, :256])
 
 
+def test_corrupt_jpeg_returns_none(lib_ok, jpeg_paths, tmp_path):
+    """A truncated/corrupt file must fail the call, not exit() the
+    process (libjpeg's default error_exit would)."""
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(open(jpeg_paths[0], "rb").read()[:200])
+    assert native.decode_jpeg(str(bad)) is None
+    garbage = tmp_path / "garbage.jpg"
+    garbage.write_bytes(b"not a jpeg at all")
+    assert native.decode_jpeg(str(garbage)) is None
+
+
+def test_wrong_size_jpeg_rejected_before_decode(lib_ok, jpeg_paths):
+    """A file larger than the caller's buffer dims must be rejected (the
+    check runs before any pixel is written, so it cannot overflow)."""
+    assert native.decode_batch(jpeg_paths[:2], 640, 512) is None
+    centers = np.array([[100, 100], [100, 100]], np.int32)
+    assert (
+        native.decode_crop_batch(jpeg_paths[:2], centers, 64, 640, 512)
+        is None
+    )
+
+
+def test_invalid_bbox_rejected(lib_ok, jpeg_paths):
+    centers = np.array([[640, 512]], np.int32)
+    # odd bbox would read one row past the frame; oversized bbox would
+    # cross the clamp bounds
+    assert (
+        native.decode_crop_batch(jpeg_paths[:1], centers, 255, 1280, 1024)
+        is None
+    )
+    assert (
+        native.decode_crop_batch(jpeg_paths[:1], centers, 2048, 1280, 1024)
+        is None
+    )
+
+
+def test_frameset_pipeline_raises_on_missing_file(lib_ok, jpeg_paths):
+    framesets = [jpeg_paths, [jpeg_paths[0], "/nonexistent/missing.jpg"]
+                 + jpeg_paths[2:]]
+    pipe = native.FramesetPipeline(framesets, 1280, 1024)
+    it = iter(pipe)
+    idx, out = next(it)  # frameset 0 is intact
+    assert idx == 0 and out.shape == (len(jpeg_paths), 1024, 1280, 3)
+    with pytest.raises(RuntimeError, match="cameras decoded"):
+        next(it)
+    pipe.close()
+
+
 def test_frameset_pipeline(lib_ok, jpeg_paths):
     framesets = [jpeg_paths, jpeg_paths[::-1]]
     pipe = native.FramesetPipeline(framesets, 1280, 1024)

@@ -336,6 +336,61 @@ def test_native_unknown_count_exact_batch_multiple_terminates(tmp_path):
     reader.release()
 
 
+def _uneven_videos(tmp_path, lengths):
+    paths = []
+    for c, n in enumerate(lengths):
+        p = str(tmp_path / f"Camera_{c}.avi")
+        w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"MJPG"), 30, (W, H))
+        for f in range(n):
+            w.write(np.full((H, W, 3), _marker(c, f), np.uint8))
+        w.release()
+        paths.append(p)
+    return paths
+
+
+def test_cv2_uneven_camera_lengths_terminate(tmp_path):
+    """One camera ending more than a ring-capacity earlier than the others
+    must end the stream at the shortest camera — not deadlock the pool
+    (review r3 CONFIRMED: the survivors block on ring buffers the emitter
+    never publishes while the emitter waits for the survivors)."""
+    import threading
+
+    paths = _uneven_videos(tmp_path, [10, 2])
+    # explicit number_frames: cv2 reports per-file counts, so ask for the
+    # longer stream's worth — the short camera cuts it off
+    reader = MultiCameraReader(paths, number_frames=10, batch_size=2,
+                               prefetch=1, max_buffers=2, num_threads=2)
+    out = []
+    t = threading.Thread(target=_consume_all, args=(reader, out),
+                         daemon=True)
+    t.start()
+    t.join(timeout=30)
+    assert out == [2, "end"], out
+    reader.release()
+
+
+@needs_native_video
+def test_native_uneven_camera_lengths_terminate(tmp_path):
+    """Native-pool twin of the uneven-camera-EOF deadlock test."""
+    import threading
+
+    from jarvis_hybridnet_tpu.prediction.video_io import (
+        NativeMultiCameraReader,
+    )
+
+    paths = _uneven_videos(tmp_path, [10, 2])
+    reader = NativeMultiCameraReader(paths, number_frames=10, batch_size=2,
+                                     prefetch=1, max_buffers=2,
+                                     num_threads=2)
+    out = []
+    t = threading.Thread(target=_consume_all, args=(reader, out),
+                         daemon=True)
+    t.start()
+    t.join(timeout=30)
+    assert out == [2, "end"], out
+    reader.release()
+
+
 def test_cv2_unknown_count_frame_start_skips_sequentially(videos,
                                                           monkeypatch):
     """frame_start on an un-indexed container must not silently decode
