@@ -100,6 +100,16 @@ def _load_project_cfg(project_name):
     return pm.get_cfg()
 
 
+def _joint_names(cfg, num_joints):
+    """KEYPOINT_NAMES when it covers every CSV joint, generic labels
+    otherwise (projects created from datasets without keypoint_names have
+    an empty list — their analysis data must still plot)."""
+    names = list(cfg.KEYPOINT_NAMES)
+    if len(names) < num_joints:
+        return [f"joint_{j}" for j in range(num_joints)]
+    return names[:num_joints]
+
+
 def plot_error_per_keypoint(path, project_name, interactive=True):
     import matplotlib.pyplot as plt
 
@@ -122,8 +132,7 @@ def plot_error_per_keypoint(path, project_name, interactive=True):
     for j in range(num_joints):
         plt.bar(j, joint_means[j], width=0.8, color=cmap(j / num_joints))
     plt.xticks([j + 0.1 for j in range(num_joints)],
-               [cfg.KEYPOINT_NAMES[j] for j in range(num_joints)],
-               rotation=90)
+               _joint_names(cfg, num_joints), rotation=90)
     plt.savefig(os.path.join(path, "error_per_joint.png"))
     if interactive:
         plt.show()
@@ -142,12 +151,16 @@ def plot_error_histogram_per_keypoint(path, project_name, cutoff=-1,
     os.makedirs(hist_dir, exist_ok=True)
     gt, net = _load_points(path)
 
-    num_joints = len(cfg.KEYPOINT_NAMES)
-    grid_h = int(np.sqrt(num_joints))
+    # joint count comes from the CSV, not the config: analysis data must
+    # stay plottable on projects without (or with stale) KEYPOINT_NAMES
+    num_joints = net.shape[1]
+    names = _joint_names(cfg, num_joints)
+    grid_h = max(1, int(np.sqrt(num_joints)))
     grid_w = int(np.ceil(num_joints / grid_h))
-    overview, axs = plt.subplots(grid_h, grid_w)
+    # squeeze=False: a 1-row grid (< 4 joints) must still index 2-D
+    overview, axs = plt.subplots(grid_h, grid_w, squeeze=False)
 
-    for j, name in enumerate(cfg.KEYPOINT_NAMES):
+    for j, name in enumerate(names):
         frame = pd.DataFrame(
             {name: _masked_distances_mm(net[:, j:j + 1], gt[:, j:j + 1],
                                         cutoff)})

@@ -74,6 +74,21 @@ def load_predictor(path: str):
     return jax.jit(exported.call)
 
 
+def list_artifacts(cfg, kind: str) -> list[str]:
+    """Saved artifact filenames for ``kind`` under the CURRENT numerics
+    config (any input shape). Artifacts exported under a different repro
+    mode / dtype are excluded: the driver would refuse to load them, so
+    offering them for reuse (e.g. in the interactive wizard) would
+    silently fall back to a fresh JIT."""
+    probe = artifact_path(cfg, kind, ())
+    search, stem = os.path.dirname(probe), os.path.basename(probe)
+    tag = stem[len(kind) + 1:]  # "_<tag>.jaxexp" with the empty shape
+    if not os.path.isdir(search):
+        return []
+    return sorted(f for f in os.listdir(search)
+                  if f.startswith(kind + "_") and f.endswith(tag))
+
+
 def artifact_path(cfg, kind: str, shape) -> str:
     """Canonical artifact location: one file per (pipeline, input shape,
     numerics config) — repro mode and compute dtype are part of the key so

@@ -19,6 +19,7 @@ import yaml
 
 from ..config.project_manager import ProjectManager
 from ..utils import clp
+from ..utils.utils import latest_run_dir
 from ..utils.param_classes import (
     CreateVideos2DParams,
     CreateVideos3DParams,
@@ -282,14 +283,10 @@ def _latest_prediction_dir(project_name, kind):
     cfg = pm.get_cfg()
     root = os.path.join(pm.parent_dir, cfg.PROJECTS_ROOT_PATH, project_name,
                         "predictions", kind)
-    if not os.path.isdir(root) or not os.listdir(root):
+    latest = latest_run_dir(root)
+    if latest is None:
         clp.error("No predictions found! Aborting...")
-        return None
-    dirs = sorted(
-        (os.path.join(root, d) for d in os.listdir(root)),
-        key=os.path.getmtime,
-    )
-    return dirs[-1]
+    return latest
 
 
 @visualize.command(name="create-videos3D")
@@ -377,14 +374,10 @@ def _latest_analysis_dir(project_name):
     cfg = pm.get_cfg()
     root = os.path.join(pm.parent_dir, cfg.PROJECTS_ROOT_PATH, project_name,
                         "analysis")
-    if not os.path.isdir(root) or not os.listdir(root):
+    latest = latest_run_dir(root)
+    if latest is None:
         clp.error("No analysis results found! Aborting...")
-        return None
-    dirs = sorted(
-        (os.path.join(root, d) for d in os.listdir(root)),
-        key=os.path.getmtime,
-    )
-    return dirs[-1]
+    return latest
 
 
 @analyze.command(name="analyze-validation-data")

@@ -8,18 +8,13 @@ import os
 
 import streamlit as st
 
+from ...utils.utils import latest_run_dir
+
 
 def _latest_analysis_dir(cfg):
     base = os.path.join(cfg.PARENT_DIR, cfg.PROJECTS_ROOT_PATH,
                         cfg.PROJECT_NAME, "analysis")
-    if not os.path.isdir(base):
-        return None
-    runs = sorted(
-        (os.path.join(base, d) for d in os.listdir(base)
-         if os.path.isdir(os.path.join(base, d))),
-        key=os.path.getmtime, reverse=True,
-    )
-    return runs[0] if runs else None
+    return latest_run_dir(base)
 
 
 def analyze_gui(project, cfg):

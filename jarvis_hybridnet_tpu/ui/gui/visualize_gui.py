@@ -15,6 +15,7 @@ from ...utils.param_classes import (
     CreateVideos2DParams,
     CreateVideos3DParams,
 )
+from ...utils.utils import list_run_dirs
 
 
 def get_prediction_paths(cfg, kind: str):
@@ -24,14 +25,7 @@ def get_prediction_paths(cfg, kind: str):
         cfg.PARENT_DIR, cfg.PROJECTS_ROOT_PATH, cfg.PROJECT_NAME,
         "predictions", f"predictions{kind}",
     )
-    if not os.path.isdir(base):
-        return None, base
-    runs = sorted(
-        (d for d in os.listdir(base)
-         if os.path.isdir(os.path.join(base, d))),
-        key=lambda d: os.path.getmtime(os.path.join(base, d)),
-        reverse=True,
-    )
+    runs = list_run_dirs(base)
     return (runs or None), base
 
 
@@ -66,6 +60,9 @@ def _create_video_gui(project, cfg, kind: str):
 
         params = CreateVideos3DParams(project, info["recording_path"],
                                       data_csv)
+        # multi-session projects: reproject with the calibration rig the
+        # prediction ran with, not an arbitrary first one
+        params.dataset_name = info.get("dataset_name")
         params.frame_start = info.get("frame_start", 0)
         params.number_frames = info.get("number_frames", -1)
         params.progress_bar = st.progress(0)

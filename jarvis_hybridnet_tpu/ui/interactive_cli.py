@@ -28,7 +28,7 @@ from ..utils.param_classes import (
     Predict2DParams,
     Predict3DParams,
 )
-from ..utils.utils import get_available_pretrains
+from ..utils.utils import get_available_pretrains, list_run_dirs
 
 
 def _menu(title: str, options: list[str]) -> str | None:
@@ -159,10 +159,11 @@ def get_compiled_mode(cfg, kind: str) -> str:
         return "off"
     from ..prediction import export as aot
 
-    search = os.path.dirname(aot.artifact_path(cfg, kind, ()))
-    saved = (os.path.isdir(search)
-             and any(f.startswith(kind) for f in os.listdir(search)))
-    if not saved:
+    # only artifacts exported under the CURRENT numerics config count: a
+    # stale-numerics file would be skipped by the driver's exact-path
+    # check anyway, so reporting it as reusable would silently fall back
+    # to a fresh JIT with default weights
+    if not aot.list_artifacts(cfg, kind):
         print("No saved compiled model found — a new one will be exported.")
         return "new"
     if _menu("Use previously saved compiled model?", ["Yes", "No"]) != "No":
@@ -298,14 +299,7 @@ def _pick_prediction_run(cfg, kind: str):
     base = os.path.join(cfg.PARENT_DIR, cfg.PROJECTS_ROOT_PATH,
                         cfg.PROJECT_NAME, "predictions",
                         f"predictions{kind}")
-    if not os.path.isdir(base):
-        clp.error(f"No predictions created yet. Run Predict{kind} first!")
-        return None, None
-    runs = sorted(
-        (d for d in os.listdir(base)
-         if os.path.isdir(os.path.join(base, d))),
-        key=lambda d: os.path.getmtime(os.path.join(base, d)),
-        reverse=True)
+    runs = list_run_dirs(base)
     if not runs:
         clp.error(f"No predictions created yet. Run Predict{kind} first!")
         return None, None
@@ -350,6 +344,9 @@ def _visualize_menu():
 
             params = CreateVideos3DParams(project, info["recording_path"],
                                           data_csv)
+            # multi-session projects: reproject with the calibration rig
+            # the prediction ran with, not an arbitrary first one
+            params.dataset_name = info.get("dataset_name")
             params.frame_start = info.get("frame_start", 0)
             params.number_frames = info.get("number_frames", -1)
             create_videos3D(params)
@@ -374,6 +371,9 @@ def _visualize_menu():
         from ..dataset.dataset2d import Dataset2D
 
         ds = Dataset2D(cfg, set=split, mode=mode)
+        if len(ds) == 0:
+            clp.error(f"The {split} split has no samples.")
+            return
         n = _ask_int("How many samples to show", min(5, len(ds)),
                      lo=1, hi=len(ds))
         import matplotlib.pyplot as plt
@@ -385,6 +385,9 @@ def _visualize_menu():
         from ..dataset.dataset3d import Dataset3D
 
         ds = Dataset3D(cfg, set=split)
+        if len(ds) == 0:
+            clp.error(f"The {split} split has no samples.")
+            return
         n = _ask_int("How many samples to show", min(5, len(ds)),
                      lo=1, hi=len(ds))
         import matplotlib.pyplot as plt
@@ -427,7 +430,7 @@ def _pick_analysis_run(cfg):
     interactive_cli/analyze_cli.py:97-112)."""
     base = os.path.join(cfg.PARENT_DIR, cfg.PROJECTS_ROOT_PATH,
                         cfg.PROJECT_NAME, "analysis")
-    runs = sorted(os.listdir(base))[::-1] if os.path.isdir(base) else []
+    runs = list_run_dirs(base)
     if not runs:
         clp.error("Please run Analysis on this project first! Aborting...")
         return None

@@ -6,7 +6,31 @@ import os
 
 from .clp import CLIColors  # re-export for compatibility
 
-__all__ = ["CLIColors", "get_available_pretrains"]
+__all__ = ["CLIColors", "get_available_pretrains", "list_run_dirs",
+           "latest_run_dir"]
+
+
+def list_run_dirs(root: str, newest_first: bool = True) -> list[str]:
+    """Run names (prediction/analysis output dirs) under ``root``, sorted
+    by mtime. Non-directories are skipped: a stray file (log, .DS_Store,
+    leftover ``.partNNNNN`` shard) must never be offered as — or resolve
+    'latest' to — a run. Shared by every frontend so 'latest' means the
+    same thing in the CLI, GUI and interactive CLI."""
+    if not os.path.isdir(root):
+        return []
+    runs = sorted(
+        (d for d in os.listdir(root)
+         if os.path.isdir(os.path.join(root, d))),
+        key=lambda d: os.path.getmtime(os.path.join(root, d)),
+        reverse=newest_first,
+    )
+    return runs
+
+
+def latest_run_dir(root: str) -> str | None:
+    """Full path of the newest run dir under ``root``, or None."""
+    runs = list_run_dirs(root)
+    return os.path.join(root, runs[0]) if runs else None
 
 
 def get_available_pretrains(parent_dir: str) -> list[str]:

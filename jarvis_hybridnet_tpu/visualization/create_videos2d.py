@@ -34,12 +34,31 @@ def create_videos2D(params: CreateVideos2DParams) -> str | None:
     )
     os.makedirs(params.output_dir, exist_ok=True)
 
-    cap = cv2.VideoCapture(params.recording_path)
+    video_path = params.recording_path
+    if os.path.isdir(video_path):
+        # multi-video predict2D runs store the recording DIRECTORY in
+        # info.yaml and one "<stem>_data2D.csv" per video — resolve the
+        # video this CSV belongs to by its stem
+        csv_name = os.path.basename(params.data_csv)
+        stem = (csv_name[: -len("_data2D.csv")]
+                if csv_name.endswith("_data2D.csv") else None)
+        match = [f for f in sorted(os.listdir(video_path))
+                 if stem is not None and f.split(".")[0] == stem]
+        if not match:
+            clp.error(f"Could not find the video for {csv_name} in "
+                      f"{video_path}!")
+            return None
+        video_path = os.path.join(video_path, match[0])
+
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        clp.error(f"Could not open video: {video_path}!")
+        return None
     cap.set(cv2.CAP_PROP_POS_FRAMES, params.frame_start)
     img_size = [int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
                 int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))]
     frame_rate = cap.get(cv2.CAP_PROP_FPS)
-    stem = os.path.basename(params.recording_path).split(".")[0]
+    stem = os.path.basename(video_path).split(".")[0]
     out = cv2.VideoWriter(
         os.path.join(params.output_dir, stem + ".mp4"),
         cv2.VideoWriter_fourcc("m", "p", "4", "v"), frame_rate,
@@ -60,7 +79,10 @@ def create_videos2D(params: CreateVideos2DParams) -> str | None:
     else:
         assert params.frame_start + params.number_frames <= total
 
-    for frame_num in tqdm(range(params.number_frames)):
+    # bound by the CSV too: a preempted/partial prediction run has fewer
+    # rows than the video has frames (the 3D path guards the same way)
+    for frame_num in tqdm(range(min(params.number_frames,
+                                    len(points2D_all)))):
         ret, img = cap.read()
         if not ret:
             break

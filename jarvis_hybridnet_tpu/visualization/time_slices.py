@@ -36,6 +36,16 @@ def _pick_view_angle(plt, pose, colors, line_idxs):
     return picked[-1]
 
 
+def _conf_like(data) -> bool:
+    """True when every 4th column holds values in [0, 1] (the confidence
+    range) — distinguishes x,y,z,confidence groups from xyz-only rows
+    whose width happens to be divisible by 4."""
+    cand = data[:, 3::4]
+    cand = cand[np.isfinite(cand)]
+    return cand.size > 0 and float(cand.min()) >= 0.0 \
+        and float(cand.max()) <= 1.0
+
+
 def plot_slices(csv_file, filename, start_frame, num_frames, skip_number,
                 colors=None, line_idxs=None, plot_azim=None, plot_elev=None,
                 interactive=False):
@@ -47,10 +57,25 @@ def plot_slices(csv_file, filename, start_frame, num_frames, skip_number,
     data = np.genfromtxt(csv_file, delimiter=",")
     from .create_videos3d import _has_text_header
 
+    per_joint = None
     if _has_text_header(csv_file):
+        # row 2 labels each column (x,y,z[,confidence] per joint): count
+        # the group width exactly instead of guessing from divisibility
+        coords = np.genfromtxt(csv_file, delimiter=",", dtype=str,
+                               max_rows=2)[1]
+        per_joint = (list(coords[1:]) + ["x"]).index("x") + 1
         data = data[2:]
-    # drop confidence columns when present (x,y,z,confidence groups)
-    if data.shape[1] % 4 == 0:
+    if per_joint is None:
+        # headerless CSV: a width divisible by both 3 and 4 (e.g. 12
+        # joints xyz-only = 36 cols) is ambiguous — deleting on %4 alone
+        # would destroy real coordinates, so only treat every 4th column
+        # as confidence when its values actually look like confidences
+        n = data.shape[1]
+        if n % 4 == 0 and (n % 3 != 0 or _conf_like(data)):
+            per_joint = 4
+        else:
+            per_joint = 3
+    if per_joint == 4:
         data = np.delete(data, list(range(3, data.shape[1], 4)), axis=1)
     data = data.reshape([data.shape[0], -1, 3])
 

@@ -1,6 +1,7 @@
 """Interactive CLI smoke tests (menus driven by scripted input)."""
 
 import builtins
+import os
 
 import pytest
 
@@ -89,10 +90,13 @@ def test_compiled_mode_wizard(monkeypatch, tmp_path):
     # no saved artifact -> 'new'
     _script(monkeypatch, ["1"])
     assert interactive_cli.get_compiled_mode(cfg, "predict3D") == "new"
-    # saved artifact present -> reuse
-    d = tmp_path / "projects" / "P" / "compiled-models"
-    d.mkdir(parents=True)
-    (d / "predict3D_1x2.jaxexp").write_bytes(b"x")
+    # saved artifact (under the CURRENT numerics config) present -> reuse
+    from jarvis_hybridnet_tpu.prediction import export as aot
+
+    art = aot.artifact_path(cfg, "predict3D", (1, 2))
+    os.makedirs(os.path.dirname(art), exist_ok=True)
+    with open(art, "wb") as f:
+        f.write(b"x")
     _script(monkeypatch, ["1", "1"])
     assert interactive_cli.get_compiled_mode(cfg, "predict3D") == "previous"
     # decline reuse, confirm override -> 'new'
