@@ -218,8 +218,123 @@ def gather_dtype():
               f"ms ({C * B * N / 1e6:.2f}M rows)")
 
 
+def repro_layout():
+    """Does the NCJHW round-trip around the voxel gather cost real time?
+
+    The 2D head emits NHWC (B*C, h, h, J); hybridnet.py transposes it to
+    (B, C, J, h, h) and gather_voxel_volume transposes straight back to
+    J-minor rows (repro.py:182). A channels-last gather needs ZERO
+    transposes: pad NHWC, flatten to (B*C*hs^2, J) rows (layout-free
+    reshape) and fold (b, c) into the row offset, idx + (b*C + c)*hs^2.
+    Measures the full in-model repro subgraph (pad -> indices -> gather ->
+    quarter->half value upsample -> /255 -> bf16) both ways at production
+    shapes, plus indices-only to attribute."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from jarvis_hybridnet_tpu.models.repro import (
+        _upsample2_aligned_axis,
+        reproject_indices,
+        reprojection_layer,
+    )
+
+    B, C, J, h, G, spacing = 8, 12, 23, 128, 72, 2
+    hs = h + 2
+    g4 = G // 4
+    N = g4 ** 3
+    rng = np.random.default_rng(0)
+    hm = (rng.random((B * C, h, h, J), np.float32) * 255.0).astype(
+        jnp.bfloat16)
+    hm_b = np.roll(np.asarray(hm, np.float32), 1, axis=1).astype(jnp.bfloat16)
+
+    # plausible rig: cameras at 600 mm looking at the origin; P = [R|t]K in
+    # the reference's x@P row layout, so pu = fx*X + cx*(Z+600) and the
+    # +-36 mm grid spreads +-120 px across the crop window
+    fx = 2000.0
+    P = np.zeros((C, 4, 3), np.float32)
+    P[:, 0, 0] = fx
+    P[:, 1, 1] = fx
+    P[:, 2, 0] = 640.0
+    P[:, 2, 1] = 512.0
+    P[:, 2, 2] = 1.0
+    P[:, 3, 0] = 640.0 * 600.0
+    P[:, 3, 1] = 512.0 * 600.0
+    P[:, 3, 2] = 600.0
+    K = np.tile(np.eye(3, dtype=np.float32) * fx, (C, 1, 1))
+    K[:, 2, 2] = 1.0
+    K[:, 2, 0] = 640.0
+    K[:, 2, 1] = 512.0
+    D = np.zeros((C, 1, 5), np.float32)
+    Pb = np.broadcast_to(P, (B, C, 4, 3))
+    Kb = np.broadcast_to(K, (B, C, 3, 3))
+    Db = np.broadcast_to(D, (B, C, 1, 5))
+    center3d = np.tile(np.array([0, 0, 20], np.int32), (B, 1))
+    center_hm = np.tile(np.array([640, 512], np.int32), (B, C, 1))
+
+    @jax.jit
+    def current(x):
+        x = x.reshape(B, C, h, h, J).transpose(0, 1, 4, 2, 3)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 1), (1, 1)))
+        vox = reprojection_layer(
+            x.astype(jnp.float32), center3d, center_hm, Pb, Kb, Db,
+            G, float(spacing), mode="quarter_fused",
+            gather_dtype=jnp.bfloat16,
+        )
+        out = (vox / 255.0).astype(jnp.bfloat16)
+        return jnp.sum(out[:, ::7, ::7, ::7].astype(jnp.float32))
+
+    @jax.jit
+    def nhwc(x):
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))  # (B*C, hs, hs, J)
+        rows = x.reshape(B * C * hs * hs, J)
+        idx = jax.vmap(
+            lambda c3d, chm, p, k, d: reproject_indices(
+                c3d, chm, p, k, d, G // 2, spacing * 2.0, hs, upsample=False,
+            )
+        )(center3d, center_hm, Pb, Kb, Db)  # (B, C, N)
+        base = (jnp.arange(B, dtype=jnp.int32) * C)[:, None] * (hs * hs)
+        acc = None
+        for c in range(C):
+            ic = (idx[:, c].reshape(B, N) + base + c * hs * hs).reshape(-1)
+            if acc is not None and c % 12 == 0:
+                ic = ic + (acc[0, 0] * 0.0).astype(jnp.int32)
+            vals = jnp.take(rows, ic, axis=0).astype(jnp.float32)
+            acc = vals if acc is None else acc + vals
+        quarter = (acc / C).reshape(B, g4, g4, g4, J)
+        half = _upsample2_aligned_axis(quarter, 1)
+        half = _upsample2_aligned_axis(half, 2)
+        half = _upsample2_aligned_axis(half, 3)
+        out = (half / 255.0).astype(jnp.bfloat16)
+        return jnp.sum(out[:, ::7, ::7, ::7].astype(jnp.float32))
+
+    @jax.jit
+    def indices_only(x):
+        idx = jax.vmap(
+            lambda c3d, chm, p, k, d: reproject_indices(
+                c3d, chm, p, k, d, G // 2, spacing * 2.0, hs, upsample=False,
+            )
+        )(center3d, center_hm, Pb, Kb, Db)
+        return jnp.sum(idx.astype(jnp.float32)) + jnp.sum(
+            x[0, 0, 0, :3].astype(jnp.float32))
+
+    a = jax.device_put(hm)
+    b = jax.device_put(hm_b)
+    va, vb = float(_sync(current(a))), float(_sync(nhwc(a)))
+    print(f"value check: current={va:.1f} nhwc={vb:.1f} "
+          f"(identical gather -> must match)")
+    print(f"repro subgraph, NCJHW round-trip (current): "
+          f"{_time(current, a, b):.2f} ms")
+    print(f"repro subgraph, channels-last (no transpose): "
+          f"{_time(nhwc, a, b):.2f} ms")
+    print(f"indices only: {_time(indices_only, a, b):.2f} ms")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "v2v-pad"
     {"v2v-pad": v2v_pad, "center-split": center_split,
      "resize-variants": resize_variants, "gather-dtype": gather_dtype,
+     "repro-layout": repro_layout,
      }[which]()
