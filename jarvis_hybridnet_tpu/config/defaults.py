@@ -15,10 +15,17 @@ def get_default_cfg() -> CfgNode:
     c.PROJECTS_ROOT_PATH = "projects"
     c.PROJECT_NAME = None
     c.DATALOADER_NUM_WORKERS = 8
-    # 'thread' (GIL-releasing decode parallelism, no fork overhead) or
-    # 'process' (forked workers, augmentation scales with cores — the
-    # torch DataLoader analog)
-    c.DATALOADER_WORKER_MODE = "thread"
+    # 'process' (forked workers, the torch DataLoader analog: no GIL
+    # against the consumer, augmentation scales with cores — measured
+    # 2.9x faster end-to-end even on one core, BASELINE.md training
+    # table) or 'thread' (GIL-releasing decode parallelism only; fallback
+    # where fork is unavailable/unsafe).
+    c.DATALOADER_WORKER_MODE = "process"
+    # 'auto' | 'on' | 'off': cache the deterministic pre-augmentation part
+    # of every training sample (decoded/resized/cropped uint8) in RAM once,
+    # so epochs 2..N skip JPEG decode entirely; 'auto' preloads when the
+    # cache fits in half the available RAM (loader.maybe_preload)
+    c.DATALOADER_PRELOAD = "auto"
     c.PARENT_DIR = ""
 
     c.KEYPOINT_NAMES = []

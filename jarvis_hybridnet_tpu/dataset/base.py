@@ -74,13 +74,16 @@ class BaseDataset:
     def __len__(self):
         return len(self.image_ids)
 
-    def _load_image(self, image_index, is_id: bool = False) -> np.ndarray:
+    def _load_image_u8(self, image_index, is_id: bool = False) -> np.ndarray:
         img_id = image_index if is_id else self.image_ids[image_index]
         file_name = self.imgs[img_id]["file_name"]
         path = os.path.join(self.root_dir, self.set_name, file_name)
         img = cv2.imread(path)
-        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-        return img.astype(np.float32) / 255.0
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+    def _load_image(self, image_index, is_id: bool = False) -> np.ndarray:
+        return self._load_image_u8(image_index, is_id).astype(
+            np.float32) / 255.0
 
     def _load_annotations(self, image_index, is_id: bool = False):
         img_id = image_index if is_id else self.image_ids[image_index]

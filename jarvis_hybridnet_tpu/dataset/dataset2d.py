@@ -9,9 +9,19 @@ falling outside the crop, and renders per-joint Gaussians
 (sigma = 1.5*output/64). Augmentation applies on the train split only.
 
 Samples are (image float32 HWC normalized, [targets/4, targets/2], keypoints).
+
+With ``device_targets=True`` (the trainers' mode) samples are
+``(image uint8 HWC raw RGB, keypoints)``: normalization and Gaussian target
+rendering move into the jitted train step
+(ops/heatmap.gaussian_heatmaps_on_device), so the host ships 4x fewer image
+bytes and no target pyramids at all — on a narrow host↔device link the
+f32-image + f32-target layout is the training bottleneck, and the Gaussian
+stamp is a trivially fused elementwise graph on the TPU anyway.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -25,11 +35,19 @@ from .augmentation import AugmentationPipeline
 from .base import BaseDataset
 
 
+def _to_uint8(img: np.ndarray) -> np.ndarray:
+    """0..1 float RGB -> uint8 for the thin H2D path. Quantization to
+    1/255 steps only round-trips what the JPEG source already was; the
+    jitted step divides by 255 and normalizes on device."""
+    return np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
+
 class Dataset2D(BaseDataset):
     def __init__(self, cfg, set="train", mode="CenterDetect",
-                 skip_assert=False, **kwargs):
+                 skip_assert=False, device_targets=False, **kwargs):
         super().__init__(cfg, cfg.DATASET.DATASET_2D, set, **kwargs)
         self.mode = mode
+        self.device_targets = device_targets
         if not skip_assert:
             assert cfg.KEYPOINTDETECT.BOUNDING_BOX_SIZE % 64 == 0, (
                 "Bounding Box size has to be divisible by 64!"
@@ -52,7 +70,52 @@ class Dataset2D(BaseDataset):
             return self._get_item_center(idx)
         return self._get_item_keypoints(idx)
 
-    def _get_item_center(self, idx):
+    # -- in-memory decoded-sample cache ----------------------------------
+    #
+    # The pre-augmentation part of every sample (JPEG decode + resize/crop
+    # + keypoint shift) is deterministic, so epochs 2..N re-do identical
+    # work; on a host whose cores are the training bottleneck that decode
+    # is the dominant per-sample cost. preload() materializes the pre-aug
+    # state once as packed uint8 (256^2 crops: ~200 KB/sample, ~620 MB for
+    # the full Example_Dataset) — fork-pool loader workers then inherit it
+    # copy-on-write, and every epoch pays only augmentation + collate.
+
+    def preload_nbytes(self) -> int:
+        """Estimated cache size (for the trainers' RAM guard)."""
+        size = int(self.cfg.CENTERDETECT.IMAGE_SIZE
+                   if self.mode == "CenterDetect"
+                   else self.cfg.KEYPOINTDETECT.BOUNDING_BOX_SIZE)
+        return len(self) * size * size * 3
+
+    def preload(self, log=True) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        if getattr(self, "_cache_imgs", None) is not None:
+            return
+        base = (self._base_center if self.mode == "CenterDetect"
+                else self._base_keypoints)
+        n = len(self)
+        img0, kps0 = base(0)
+        imgs = np.zeros((n,) + img0.shape, np.uint8)
+        kps = np.zeros((n,) + np.shape(kps0), np.float32)
+
+        def fill(i):
+            img, kp = base(i)
+            imgs[i] = _to_uint8(img)
+            kps[i] = kp
+
+        with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) \
+                as ex:  # cv2 decode releases the GIL
+            list(ex.map(fill, range(n)))
+        self._cache_imgs, self._cache_kps = imgs, kps
+        if log:
+            from ..utils import clp
+
+            clp.info(f"Preloaded {n} decoded samples "
+                     f"({imgs.nbytes / 1e6:.0f} MB in RAM)")
+
+    def _base_center(self, idx):
+        """Pre-augmentation state: (resized f32 0..1 image, center px)."""
         cfg = self.cfg
         size = int(cfg.CENTERDETECT.IMAGE_SIZE)
         img = self._load_image(idx)
@@ -68,26 +131,45 @@ class Dataset2D(BaseDataset):
         sy = size / img.shape[0]
         img = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
         center = center * np.array([sx, sy], np.float32)
+        return img, center
+
+    def _get_item_center(self, idx):
+        cfg = self.cfg
+        size = int(cfg.CENTERDETECT.IMAGE_SIZE)
+        if getattr(self, "_cache_imgs", None) is not None:
+            img = self._cache_imgs[idx].astype(np.float32) / 255.0
+            center = self._cache_kps[idx].copy()
+        else:
+            img, center = self._base_center(idx)
+        # pre-aug (0, 0) encodes "no subject in frame" (negative sample)
+        has_subject = bool(center[0] != 0 or center[1] != 0)
 
         if self.set_name == "train":
             img, kps = self.augpipe(img, center[None])
             center = kps[0]
+        if not has_subject:
+            # keep negatives' center at the (0, 0) sentinel: augmentation
+            # must not turn an empty frame into a bogus target/GT point
+            center = np.zeros(2, np.float32)
+
+        keypoints = np.concatenate([center, [1.0]])[None].astype(np.float32)
+        if self.device_targets:
+            return _to_uint8(img), keypoints
 
         targets = []
         for scale in (4, 2):
             out = size // scale
             sigma = 1.0 * out / 64  # CenterDetect sigma (dataset2D.py:292-294)
-            pts = center[None] if has_subject else np.zeros((1, 2))
             targets.append(
-                gaussian_heatmaps(pts, size, out, sigma).astype(np.float32)
+                gaussian_heatmaps(center[None], size, out, sigma).astype(
+                    np.float32)
             )
-        keypoints = np.concatenate([center, [1.0]])[None].astype(np.float32)
         img = (img - self.mean) / self.std
         return img, targets, keypoints
 
-    def _get_item_keypoints(self, idx):
-        cfg = self.cfg
-        bbox_size = int(cfg.KEYPOINTDETECT.BOUNDING_BOX_SIZE)
+    def _base_keypoints(self, idx):
+        """Pre-augmentation state: (f32 0..1 crop, shifted (J, 3) kps)."""
+        bbox_size = int(self.cfg.KEYPOINTDETECT.BOUNDING_BOX_SIZE)
         bbox_hw = bbox_size // 2
         img = self._load_image(idx)
         bboxs, keypoints = self._load_annotations(idx)
@@ -104,6 +186,16 @@ class Dataset2D(BaseDataset):
         kps = keypoints[0].reshape(-1, 3).astype(np.float32)
         kps[:, 0] += bbox_hw - center_x
         kps[:, 1] += bbox_hw - center_y
+        return img, kps
+
+    def _get_item_keypoints(self, idx):
+        cfg = self.cfg
+        bbox_size = int(cfg.KEYPOINTDETECT.BOUNDING_BOX_SIZE)
+        if getattr(self, "_cache_imgs", None) is not None:
+            img = self._cache_imgs[idx].astype(np.float32) / 255.0
+            kps = self._cache_kps[idx].copy()
+        else:
+            img, kps = self._base_keypoints(idx)
 
         if self.set_name == "train":
             img, moved = self.augpipe(img, kps[:, :2])
@@ -115,6 +207,9 @@ class Dataset2D(BaseDataset):
             | (kps[:, 0] >= bbox_size) | (kps[:, 1] >= bbox_size)
         )
         kps[outside, :2] = 0
+
+        if self.device_targets:
+            return _to_uint8(img), kps.reshape(1, -1)
 
         targets = []
         for scale in (4, 2):

@@ -24,8 +24,16 @@ from .base import BaseDataset
 
 
 class Dataset3D(BaseDataset):
-    def __init__(self, cfg, set="train", analysisMode=False, **kwargs):
+    def __init__(self, cfg, set="train", analysisMode=False,
+                 device_targets=False, **kwargs):
         self.analysisMode = analysisMode
+        # trainers set this: samples then carry raw uint8 crops + voxel
+        # keypoints instead of normalized f32 crops + rendered (J, g2^3)
+        # volumes — normalization and Gaussian rendering move into the
+        # jitted step (ops/heatmap.gaussian_heatmaps_3d_on_device), which
+        # cuts both host time (the 3D stamp was ~20% of __getitem__,
+        # BASELINE.md) and per-step H2D bytes by ~5x.
+        self.device_targets = device_targets
         super().__init__(cfg, cfg.DATASET.DATASET_3D, set, **kwargs)
 
         img = self._load_image(0)
@@ -99,6 +107,51 @@ class Dataset3D(BaseDataset):
     def __len__(self):
         return len(self.frameset_keys)
 
+    # -- in-memory decoded-frame cache -----------------------------------
+    #
+    # Unlike Dataset2D, the 3D crop windows are NOT deterministic (±30%
+    # center jitter per epoch on the train split), so the cache holds the
+    # full decoded frames of every frameset (~4 MB per 1280x1024 camera
+    # frame, ~11 GB for Example_Dataset's train split) and __getitem__
+    # becomes a pure memcpy crop — JPEG decode, 51% of the per-sample host
+    # cost (BASELINE.md), drops out of every epoch. Guarded by
+    # loader.maybe_preload's RAM check.
+
+    def preload_nbytes(self) -> int:
+        n_frames = len(self) * self.num_cameras
+        w, h = self.cfg.DATASET.IMAGE_SIZE
+        return n_frames * int(w) * int(h) * 3
+
+    def preload(self, log=True) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        if getattr(self, "_frame_cache", None) is not None:
+            return
+        import os
+
+        ids = []
+        for key in self.frameset_keys:
+            frame_ids = self.dataset["framesets"][key]["frames"]
+            if self.use_idxs is not None:
+                frame_ids = [frame_ids[i] for i in self.use_idxs]
+            ids.extend(frame_ids)
+        ids = sorted(set(ids))
+        cache = {}
+
+        def fill(img_id):
+            cache[img_id] = self._load_image_u8(img_id, is_id=True)
+
+        with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) \
+                as ex:  # cv2 decode releases the GIL
+            list(ex.map(fill, ids))
+        self._frame_cache = cache
+        if log:
+            from ..utils import clp
+
+            total = sum(v.nbytes for v in cache.values())
+            clp.info(f"Preloaded {len(ids)} decoded frames "
+                     f"({total / 1e9:.1f} GB in RAM)")
+
     def __getitem__(self, idx):
         cfg = self.cfg
         spacing = float(cfg.HYBRIDNET.GRID_SPACING)
@@ -140,14 +193,20 @@ class Dataset3D(BaseDataset):
             cx = min(max(bbox_hw, cx), width - bbox_hw)
             center_hm[ci] = (cx, cy)
 
+        cache = getattr(self, "_frame_cache", None)
         crops = None
-        if not self.analysisMode and len(set(sizes)) == 1:
+        if cache is None and not self.analysisMode and len(set(sizes)) == 1:
             # native path: one threaded C++ decode+crop call for the whole
             # frameset (falls back to the cv2 loop below)
             crops = self._native_crops(frame_ids, center_hm, bbox_size,
                                        sizes[0][0], sizes[0][1])
         for ci, img_id in enumerate(frame_ids):
-            if crops is not None:
+            if cache is not None and not self.analysisMode:
+                cx, cy = center_hm[ci]
+                img = cache[img_id][cy - bbox_hw: cy + bbox_hw,
+                                    cx - bbox_hw: cx + bbox_hw]
+                img = img.astype(np.float32) / 255.0
+            elif crops is not None:
                 img = crops[ci].astype(np.float32) / 255.0
             else:
                 img = self._load_image(img_id, is_id=True)
@@ -175,21 +234,25 @@ class Dataset3D(BaseDataset):
             )
 
         kp_vox = (kp3d + cube / 2.0 - center3d) / spacing / 2.0
-        g2 = int(cube / spacing / 2.0)
-        heatmap3d = gaussian_heatmaps_3d(kp_vox, kp3d, g2)
-
         sample = {
-            "imgs": ((imgs - self.mean) / self.std).astype(np.float32)
-            if not self.analysisMode else imgs,
             "keypoints3D": kp3d.astype(np.float32),
             "center_hm": center_hm.astype(np.int32),
             "center3d": center3d.astype(np.int32),
-            "heatmap3d": heatmap3d,  # (J, g2, g2, g2)
             "camera_matrices": rig.camera_matrices,
             "intrinsics": rig.intrinsics,
             "distortions": rig.distortions,
             "dataset_name": fs["datasetName"],
         }
+        if self.device_targets and not self.analysisMode:
+            sample["imgs"] = np.clip(
+                imgs * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            sample["kp_vox"] = kp_vox.astype(np.float32)
+        else:
+            g2 = int(cube / spacing / 2.0)
+            sample["heatmap3d"] = gaussian_heatmaps_3d(kp_vox, kp3d, g2)
+            sample["imgs"] = (
+                ((imgs - self.mean) / self.std).astype(np.float32)
+                if not self.analysisMode else imgs)
         if self.analysisMode:
             sample["file_name"] = self.imgs[fs["frames"][0]]["file_name"]
         return sample

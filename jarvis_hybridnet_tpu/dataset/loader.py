@@ -4,12 +4,12 @@ Replaces the reference's torch ``DataLoader(num_workers=N, pin_memory=True)``
 (jarvis/efficienttrack/efficienttrack.py:210-224) on the host side of the
 TPU pipeline. Two worker modes:
 
-* ``worker_mode='thread'`` (default): samples of a batch are built
+* ``worker_mode='thread'``: samples of a batch are built
   concurrently on a thread pool. JPEG decode via cv2/libjpeg and the
   native C++ pipeline release the GIL, so threads parallelize the heavy
   work without process-fork + pickle overhead — but GIL-holding work
   (numpy augmentation, 3D target synthesis) serializes.
-* ``worker_mode='process'``: forked worker processes each build and
+* ``worker_mode='process'`` (config default): forked worker processes each build and
   collate whole batches (the torch ``DataLoader(num_workers=N)`` analog,
   reference efficienttrack.py:210-224) and ship them back through
   pickled numpy buffers. Sidesteps the GIL entirely, so augmentation
@@ -97,6 +97,39 @@ class _ProducerError:
 
     def __init__(self, exc: BaseException):
         self.exc = exc
+
+
+def available_ram_bytes() -> int:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:  # pragma: no cover
+        pass
+    return 4 << 30  # pragma: no cover
+
+
+def maybe_preload(cfg, *datasets) -> None:
+    """Honor ``DATALOADER_PRELOAD`` for datasets that support an in-memory
+    decoded-sample cache: 'auto' (default) preloads when the cache fits in
+    half the available RAM, 'on' forces, 'off' disables. Preloading before
+    the fork-pool workers start means they inherit the cache
+    copy-on-write."""
+    mode = str(cfg.get("DATALOADER_PRELOAD", "auto")).lower()
+    if mode in ("off", "false", "0", "none"):
+        return
+    targets = [d for d in datasets if hasattr(d, "preload")]
+    need = sum(d.preload_nbytes() for d in targets)
+    if mode == "auto" and need > 0.5 * available_ram_bytes():
+        from ..utils import clp
+
+        clp.info(f"Dataset preload skipped ({need / 1e9:.1f} GB cache vs "
+                 f"{available_ram_bytes() / 1e9:.1f} GB available); set "
+                 "DATALOADER_PRELOAD: on to force")
+        return
+    for d in targets:
+        d.preload()
 
 
 def _collate(samples):

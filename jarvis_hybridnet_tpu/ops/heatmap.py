@@ -70,6 +70,71 @@ def gaussian_heatmaps(
     return hms
 
 
+def gaussian_heatmaps_on_device(
+    kps: jnp.ndarray,  # (B, J, 2) float32 pixel coords at input resolution
+    input_size: int,
+    output_size: int,
+    sigma: float,
+) -> jnp.ndarray:
+    """Device-side Gaussian target rendering inside the jitted train step.
+
+    Numerically matches :func:`gaussian_heatmaps` (same truncated-int
+    center, banker's-rounded ``6*sigma+3`` stamp window, peak 255, skip of
+    (0,0)/out-of-map points) but runs as a dense fused elementwise graph on
+    the TPU, so the host ships only ``(B, J, 2)`` keypoints per batch
+    instead of two float32 heatmap pyramids — the H2D byte reduction that
+    makes training loaders network-thin (see trainer2d). Returns
+    ``(B, output_size, output_size, J)`` float32 (NHWC, the training loss
+    layout).
+    """
+    scale = float(output_size) / float(input_size)
+    ksize = float(int(6 * sigma + 3))
+    x0 = 3.0 * sigma + 1.0
+    c = jnp.trunc(kps.astype(jnp.float32) * scale)  # int() semantics (>=0)
+    valid = ~((kps[..., 0] == 0) & (kps[..., 1] == 0))
+    valid &= (
+        (c[..., 0] >= 0) & (c[..., 0] < output_size)
+        & (c[..., 1] >= 0) & (c[..., 1] < output_size)
+    )  # (B, J)
+    ul = jnp.round(c - (3.0 * sigma + 1.0))  # np.round = half-to-even, same
+    r = jnp.arange(output_size, dtype=jnp.float32)
+    kx = r[None, None, :] - ul[..., 0][..., None]  # (B, J, W) kernel coords
+    ky = r[None, None, :] - ul[..., 1][..., None]  # (B, J, H)
+    d2 = (ky - x0)[..., :, None] ** 2 + (kx - x0)[..., None, :] ** 2
+    g = 255.0 * jnp.exp(-d2 / (2.0 * sigma * sigma))  # (B, J, H, W)
+    inside = (
+        ((ky >= 0) & (ky < ksize))[..., :, None]
+        & ((kx >= 0) & (kx < ksize))[..., None, :]
+    )
+    hm = jnp.where(inside & valid[..., None, None], g, 0.0)
+    return jnp.moveaxis(hm, 1, -1)  # (B, H, W, J)
+
+
+def gaussian_heatmaps_3d_on_device(
+    kps_vox: jnp.ndarray,  # (B, J, 3) voxel coords at output resolution
+    kps_world: jnp.ndarray,  # (B, J, 3) raw keypoints (all-zero = unlabeled)
+    size: int,
+) -> jnp.ndarray:
+    """Device-side 3D Gaussian GT rendering matching
+    :func:`gaussian_heatmaps_3d` (peak 255, sigma-exponent 1.7, dense,
+    unlabeled joints empty), evaluated as a separable outer sum inside the
+    jitted train step so the host ships two (B, J, 3) arrays instead of a
+    (B, J, size^3) float32 volume. Returns (B, size, size, size, J) — the
+    3D-MSE loss layout."""
+    exponent = 1.7
+    r = jnp.arange(size, dtype=jnp.float32)
+    d = (kps_vox.astype(jnp.float32)[..., None] - r) / exponent  # (B,J,3,S)
+    d2 = (
+        (d[..., 0, :] ** 2)[..., :, None, None]
+        + (d[..., 1, :] ** 2)[..., None, :, None]
+        + (d[..., 2, :] ** 2)[..., None, None, :]
+    )  # (B, J, S, S, S)
+    g = 255.0 * jnp.exp(-0.5 * d2)
+    labeled = jnp.any(kps_world != 0, axis=-1)  # (B, J)
+    g = jnp.where(labeled[..., None, None, None], g, 0.0)
+    return jnp.moveaxis(g, 1, -1)
+
+
 def gaussian_heatmaps_3d(
     keypoints_vox: np.ndarray,  # (J, 3) voxel coords at the output resolution
     keypoints_world: np.ndarray,  # (J, 3) raw keypoints (0 rows = unlabeled)

@@ -37,19 +37,27 @@ def heatmap_loss(outputs, targets):
     return total
 
 
-def calculate_accuracy(heatmaps: np.ndarray, gt: np.ndarray) -> float:
+def accuracy_from_preds(preds: np.ndarray, gt: np.ndarray) -> float:
     """Mean px distance of stride-2 argmax decode to GT
-    (efficienttrack.py:383-396). heatmaps: (B, H, W, J); gt: (B, J, 2)."""
-    B, H, W, J = heatmaps.shape
-    flat = heatmaps.transpose(0, 3, 1, 2).reshape(B, J, -1)
-    m = flat.argmax(axis=2)
-    preds = np.stack([m % W, m // W], axis=-1)
+    (efficienttrack.py:383-396). preds: (B, J, 2) argmax coords on the
+    stride-2 heatmap (decoded on device — the train step ships back 2*J
+    ints per sample, not heatmaps); gt: (B, J, 2) input-resolution px."""
     mask = gt.sum(axis=2)
     dist = np.linalg.norm((preds + 0.5) * 2 - gt, axis=2)
     masked = np.ma.masked_where(mask == 0, dist)
     if masked.mask.all():
         return -1.0
     return float(np.nanmean(masked))
+
+
+def calculate_accuracy(heatmaps: np.ndarray, gt: np.ndarray) -> float:
+    """Host-side variant of :func:`accuracy_from_preds` taking raw
+    heatmaps (B, H, W, J)."""
+    B, H, W, J = heatmaps.shape
+    flat = heatmaps.transpose(0, 3, 1, 2).reshape(B, J, -1)
+    m = flat.argmax(axis=2)
+    preds = np.stack([m % W, m // W], axis=-1)
+    return accuracy_from_preds(preds, gt)
 
 
 class EfficientTrackTrainer:
@@ -95,8 +103,35 @@ class EfficientTrackTrainer:
 
         With ``mesh`` (multi-chip: parallel/mesh.auto_data_mesh) steps are
         jitted with 'data' shardings on the batch; params/optimizer state
-        replicated, gradient all-reduce inserted by GSPMD over ICI."""
+        replicated, gradient all-reduce inserted by GSPMD over ICI.
+
+        The host↔device contract is deliberately thin (critical on narrow
+        links, and free bandwidth everywhere): images ship as raw uint8
+        (cast + mean/std normalize fuse into the first conv's read),
+        Gaussian targets are rendered on device from the (B, J, 2)
+        keypoints (ops/heatmap.gaussian_heatmaps_on_device), and only the
+        stride-2 argmax coords come back for the px-accuracy meter —
+        ~100 KB/step instead of the ~21 MB/step a f32-image + f32-target
+        + heatmap-readback layout costs at batch 8."""
         model = self.model
+        from ..ops.heatmap import argmax_2d, gaussian_heatmaps_on_device
+
+        size = self.input_size
+        sig = 1.0 if self.mode == "CenterDetect" else 1.5
+        mean = jnp.asarray(self.main_cfg.DATASET.MEAN, jnp.float32)
+        std = jnp.asarray(self.main_cfg.DATASET.STD, jnp.float32)
+
+        def prepare(imgs, kps):
+            # imgs uint8 (B, S, S, 3); kps float32 (B, 1, J*3) [x, y, vis]
+            x = imgs.astype(jnp.float32) / 255.0
+            x = (x - mean) / std
+            kxy = kps.reshape(kps.shape[0], -1, 3)[..., :2]
+            t4 = gaussian_heatmaps_on_device(kxy, size, size // 4,
+                                             sig * (size // 4) / 64)
+            t2 = gaussian_heatmaps_on_device(kxy, size, size // 2,
+                                             sig * (size // 2) / 64)
+            return x, t4, t2
+
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -104,22 +139,24 @@ class EfficientTrackTrainer:
             data = NamedSharding(mesh, P("data"))
             train_jit = lambda f: jax.jit(  # noqa: E731
                 f,
-                in_shardings=(repl, repl, repl, repl, data, data, data),
+                in_shardings=(repl, repl, repl, repl, data, data),
                 out_shardings=(repl, repl, repl, data),
             )
             eval_jit = lambda f: jax.jit(  # noqa: E731
                 f,
-                in_shardings=(repl, data, data, data),
+                in_shardings=(repl, data, data),
                 out_shardings=(repl, data),
             )
         else:
             train_jit = eval_jit = jax.jit
 
         @train_jit
-        def train_step(params, opt_state, lr_scale, rng, imgs, t4, t2):
+        def train_step(params, opt_state, lr_scale, rng, imgs, kps):
+            x, t4, t2 = prepare(imgs, kps)
+
             def loss_fn(p):
                 outputs = model.apply(
-                    {"params": p}, imgs, deterministic=False,
+                    {"params": p}, x, deterministic=False,
                     rngs={"dropout": rng},
                 )
                 return heatmap_loss(outputs, (t4, t2)), outputs[1]
@@ -129,13 +166,15 @@ class EfficientTrackTrainer:
             updates, opt_state = tx.update(grads, opt_state, params)
             updates = jax.tree.map(lambda u: u * lr_scale, updates)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss, jnp.clip(hm2, 0, 255)
+            xy, _ = argmax_2d(hm2)
+            return params, opt_state, loss, xy
 
         @eval_jit
-        def eval_step(params, imgs, t4, t2):
-            outputs = model.apply({"params": params}, imgs)
-            return heatmap_loss(outputs, (t4, t2)), \
-                jnp.clip(outputs[1], 0, 255)
+        def eval_step(params, imgs, kps):
+            x, t4, t2 = prepare(imgs, kps)
+            outputs = model.apply({"params": params}, x)
+            xy, _ = argmax_2d(outputs[1])
+            return heatmap_loss(outputs, (t4, t2)), xy
 
         return train_step, eval_step
 
@@ -147,6 +186,14 @@ class EfficientTrackTrainer:
         workers = int(self.main_cfg.get("DATALOADER_NUM_WORKERS", 4))
         from ..parallel.mesh import auto_data_mesh
         from ..parallel.multihost import local_np, make_dp_loaders
+
+        # thin host↔device contract: raw uint8 images + keypoints only,
+        # targets rendered on device (see _build_steps)
+        training_set.device_targets = True
+        validation_set.device_targets = True
+        from ..dataset.loader import maybe_preload
+
+        maybe_preload(self.main_cfg, training_set, validation_set)
 
         mesh = auto_data_mesh(int(cfg.BATCH_SIZE))
         train_loader, val_loader = make_dp_loaders(
@@ -205,13 +252,11 @@ class EfficientTrackTrainer:
                 # so preemption resumes never replay early epochs' orders
                 train_loader.set_epoch(epoch)
                 bar = tqdm(train_loader, total=steps_per_epoch)
-                for count, (imgs, targets, keypoints) in enumerate(bar):
+                for count, (imgs, keypoints) in enumerate(bar):
                     rng, sub = jax.random.split(rng)
-                    self.params, opt_state, loss, hm2 = train_step(
-                        self.params, opt_state, lr_scale, sub,
-                        imgs.astype(np.float32),
-                        targets[0].transpose(0, 2, 3, 1),
-                        targets[1].transpose(0, 2, 3, 1),
+                    self.params, opt_state, loss, preds = train_step(
+                        self.params, opt_state, lr_scale, sub, imgs,
+                        keypoints,
                     )
                     step += 1
                     if guard.should_stop_global(stride=POD_POLL_STRIDE):
@@ -219,9 +264,8 @@ class EfficientTrackTrainer:
                         results["preempted"] = True
                         return results
                     gt = local_np(keypoints).reshape(
-                        -1, self.model.output_channels, 3
-                    )[:, :, :2]
-                    acc = calculate_accuracy(local_np(hm2), gt)
+                        -1, self.model.output_channels, 3)[:, :, :2]
+                    acc = accuracy_from_preds(local_np(preds), gt)
                     self.lossMeter.update(float(loss))
                     if acc != -1:
                         self.accuracyMeter.update(acc)
@@ -264,15 +308,11 @@ class EfficientTrackTrainer:
                     self.save_checkpoint(f"EfficientTrack-{cfg.MODEL_SIZE}_final")
 
                 if (epoch + 1) % int(cfg.VAL_INTERVAL) == 0:
-                    for imgs, targets, keypoints in val_loader:
-                        loss, hm2 = eval_step(
-                            self.params, imgs.astype(np.float32),
-                            targets[0].transpose(0, 2, 3, 1),
-                            targets[1].transpose(0, 2, 3, 1),
-                        )
+                    for imgs, keypoints in val_loader:
+                        loss, preds = eval_step(self.params, imgs, keypoints)
                         gt = local_np(keypoints).reshape(
                             -1, self.model.output_channels, 3)[:, :, :2]
-                        acc = calculate_accuracy(local_np(hm2), gt)
+                        acc = accuracy_from_preds(local_np(preds), gt)
                         self.lossMeter.update(float(loss))
                         if acc != -1:
                             self.accuracyMeter.update(acc)

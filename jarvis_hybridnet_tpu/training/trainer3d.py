@@ -86,8 +86,28 @@ class HybridNetTrainer:
         With ``mesh`` (multi-chip: parallel/mesh.auto_data_mesh) the steps
         are jitted with 'data' shardings on every batch leaf — params and
         optimizer state replicated, gradient all-reduce inserted by GSPMD
-        over ICI."""
+        over ICI.
+
+        Host↔device contract (thin, like trainer2d): crops ship as raw
+        uint8, the (J, g2^3) Gaussian GT volume is rendered on device from
+        the (J, 3) voxel keypoints, and only points3d comes back — per
+        B=1 step that is ~2.4 MB instead of ~14 MB."""
         model = self.model
+        import jax.numpy as jnp
+
+        from ..ops.heatmap import gaussian_heatmaps_3d_on_device
+
+        g2 = int(float(self.cfg.HYBRIDNET.ROI_CUBE_SIZE)
+                 / float(self.cfg.HYBRIDNET.GRID_SPACING) / 2.0)
+        mean = jnp.asarray(self.cfg.DATASET.MEAN, jnp.float32)
+        std = jnp.asarray(self.cfg.DATASET.STD, jnp.float32)
+
+        def prepare(batch):
+            x = batch["imgs"].astype(jnp.float32) / 255.0
+            x = (x - mean) / std
+            gt = gaussian_heatmaps_3d_on_device(
+                batch["kp_vox"], batch["keypoints3D"], g2)
+            return x, gt
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -106,15 +126,16 @@ class HybridNetTrainer:
 
         @train_jit
         def train_step(params, opt_state, lr_scale, rng, batch):
+            x, gt = prepare(batch)
+
             def loss_fn(p):
                 hm_final, _, points3d, _ = model.apply(
                     {"params": p},
-                    batch["imgs"], batch["center_hm"], batch["center3d"],
+                    x, batch["center_hm"], batch["center3d"],
                     batch["camera_matrices"], batch["intrinsics"],
                     batch["distortions"],
                     deterministic=False, rngs={"dropout": rng},
                 )
-                gt = batch["heatmap3d"].transpose(0, 2, 3, 4, 1)
                 return hybridnet_mse_loss(hm_final, gt), points3d
 
             (loss, pts), grads = jax.value_and_grad(
@@ -126,13 +147,13 @@ class HybridNetTrainer:
 
         @eval_jit
         def eval_step(params, batch):
+            x, gt = prepare(batch)
             hm_final, _, points3d, _ = model.apply(
                 {"params": params},
-                batch["imgs"], batch["center_hm"], batch["center3d"],
+                x, batch["center_hm"], batch["center3d"],
                 batch["camera_matrices"], batch["intrinsics"],
                 batch["distortions"],
             )
-            gt = batch["heatmap3d"].transpose(0, 2, 3, 4, 1)
             return hybridnet_mse_loss(hm_final, gt), points3d
 
         return train_step, eval_step
@@ -144,6 +165,14 @@ class HybridNetTrainer:
         workers = int(self.cfg.get("DATALOADER_NUM_WORKERS", 4))
         from ..parallel.mesh import auto_data_mesh
         from ..parallel.multihost import local_np, make_dp_loaders
+
+        # thin host↔device contract: raw uint8 crops + voxel keypoints,
+        # GT volumes rendered on device (see _build_steps)
+        training_set.device_targets = True
+        validation_set.device_targets = True
+        from ..dataset.loader import maybe_preload
+
+        maybe_preload(self.cfg, training_set, validation_set)
 
         mesh = auto_data_mesh(int(cfg.BATCH_SIZE))
         train_loader, val_loader = make_dp_loaders(
@@ -194,10 +223,11 @@ class HybridNetTrainer:
 
         def to_batch(b):
             return {
-                "imgs": b["imgs"].astype(np.float32),
+                "imgs": b["imgs"],  # raw uint8, normalized on device
                 "center_hm": b["center_hm"],
                 "center3d": b["center3d"],
-                "heatmap3d": b["heatmap3d"].astype(np.float32),
+                "kp_vox": b["kp_vox"],
+                "keypoints3D": b["keypoints3D"],
                 "camera_matrices": b["camera_matrices"],
                 "intrinsics": b["intrinsics"],
                 "distortions": b["distortions"],

@@ -47,6 +47,46 @@ def test_dataset2d_keypoints(cfg):
         assert abs(x - kp[j][0] / 2) <= 2 and abs(y - kp[j][1] / 2) <= 2
 
 
+def test_gaussian_targets_device_matches_host():
+    """ops.heatmap.gaussian_heatmaps_on_device (the jitted-train-step
+    renderer) matches the host stamp renderer on random, edge and
+    skip-case keypoints for every production (size, sigma) pair."""
+    from jarvis_hybridnet_tpu.ops.heatmap import (
+        gaussian_heatmaps, gaussian_heatmaps_on_device)
+
+    rng = np.random.default_rng(3)
+    for size, sig_base in ((256, 1.0), (256, 1.5), (128, 1.5)):
+        for scale in (4, 2):
+            out = size // scale
+            sigma = sig_base * out / 64
+            kps = rng.uniform(-10, size + 10, (6, 9, 2)).astype(np.float32)
+            kps[0, 0] = 0.0  # (0, 0) -> skipped
+            kps[1, 1] = (0.2, size - 0.2)  # edge stamps clip
+            kps[2, 2] = (size / 2, 0.0)
+            dev = np.asarray(
+                gaussian_heatmaps_on_device(kps, size, out, sigma))
+            for b in range(len(kps)):
+                host = gaussian_heatmaps(kps[b], size, out, sigma)
+                np.testing.assert_allclose(
+                    dev[b].transpose(2, 0, 1), host, atol=1e-4,
+                    err_msg=f"size={size} sigma={sigma} b={b}")
+
+
+def test_dataset2d_device_targets_mode(cfg):
+    """device_targets=True returns (uint8 raw RGB, keypoints) with the
+    same keypoints as the host-target mode."""
+    from jarvis_hybridnet_tpu.dataset.dataset2d import Dataset2D
+
+    ds = Dataset2D(cfg, set="val", mode="KeypointDetect")
+    img, _, kps = ds[0]
+    ds.device_targets = True
+    img8, kps8 = ds[0]
+    assert img8.dtype == np.uint8 and img8.shape == img.shape
+    np.testing.assert_allclose(kps8, kps)
+    np.testing.assert_allclose(img8.astype(np.float32) / 255.0,
+                               img * ds.std + ds.mean, atol=1 / 255 + 1e-5)
+
+
 def test_dataset3d(cfg):
     from jarvis_hybridnet_tpu.dataset.dataset3d import Dataset3D
 
@@ -106,6 +146,79 @@ def test_dataset3d_gt_reprojects(cfg):
                 errs.append(np.linalg.norm(proj[j] - kp2d[j][:2]))
     errs = np.array(errs)
     assert np.median(errs) < 3.0, np.median(errs)
+
+
+def test_dataset2d_preload_matches(cfg):
+    """The in-memory decoded cache reproduces uncached samples exactly
+    (val split: deterministic, no augmentation)."""
+    from jarvis_hybridnet_tpu.dataset.dataset2d import Dataset2D
+
+    for mode in ("CenterDetect", "KeypointDetect"):
+        ds = Dataset2D(cfg, set="val", mode=mode)
+        ds.device_targets = True
+        ds.image_ids = ds.image_ids[:6]
+        ref = [ds[i] for i in range(6)]
+        assert ds.preload_nbytes() == sum(r[0].nbytes for r in ref)
+        ds.preload(log=False)
+        for i in range(6):
+            img, kps = ds[i]
+            np.testing.assert_array_equal(img, ref[i][0])
+            np.testing.assert_allclose(kps, ref[i][1])
+
+
+def test_gaussian_targets_3d_device_matches_host():
+    from jarvis_hybridnet_tpu.ops.heatmap import (
+        gaussian_heatmaps_3d, gaussian_heatmaps_3d_on_device)
+
+    rng = np.random.default_rng(5)
+    size = 18
+    vox = rng.uniform(-2, size + 2, (3, 7, 3)).astype(np.float32)
+    world = rng.normal(size=(3, 7, 3)).astype(np.float32)
+    world[0, 0] = 0  # unlabeled joint -> empty volume
+    dev = np.asarray(gaussian_heatmaps_3d_on_device(vox, world, size))
+    for b in range(3):
+        host = gaussian_heatmaps_3d(vox[b], world[b], size)
+        np.testing.assert_allclose(
+            dev[b].transpose(3, 0, 1, 2), host, atol=1e-4)
+
+
+def test_dataset3d_device_targets_mode(cfg):
+    """device_targets=True ships uint8 crops + voxel keypoints whose
+    on-device rendering reproduces the host-mode heatmap3d."""
+    from jarvis_hybridnet_tpu.dataset.dataset3d import Dataset3D
+    from jarvis_hybridnet_tpu.ops.heatmap import gaussian_heatmaps_3d_on_device
+
+    ds = Dataset3D(cfg, set="val")
+    host = ds[0]
+    ds.device_targets = True
+    dev = ds[0]
+    assert dev["imgs"].dtype == np.uint8
+    assert "heatmap3d" not in dev
+    g2 = host["heatmap3d"].shape[-1]
+    rendered = np.asarray(gaussian_heatmaps_3d_on_device(
+        dev["kp_vox"][None], dev["keypoints3D"][None], g2))[0]
+    np.testing.assert_allclose(
+        rendered.transpose(3, 0, 1, 2), host["heatmap3d"], atol=1e-3)
+    # uint8 crops round-trip the normalized host crops
+    denorm = host["imgs"] * ds.std + ds.mean
+    np.testing.assert_allclose(dev["imgs"].astype(np.float32) / 255.0,
+                               denorm, atol=1 / 255 + 1e-5)
+
+
+def test_dataset3d_preload_matches(cfg):
+    """The decoded-frame cache reproduces uncached 3D samples exactly
+    (val split: deterministic crop centers)."""
+    from jarvis_hybridnet_tpu.dataset.dataset3d import Dataset3D
+
+    ds = Dataset3D(cfg, set="val", device_targets=True)
+    ds.frameset_keys = ds.frameset_keys[:2]
+    ds.keypoints3D = ds.keypoints3D[:2]
+    ref = [ds[i] for i in range(2)]
+    ds.preload(log=False)
+    for i in range(2):
+        s = ds[i]
+        np.testing.assert_array_equal(s["imgs"], ref[i]["imgs"])
+        np.testing.assert_allclose(s["kp_vox"], ref[i]["kp_vox"])
 
 
 def test_dataloader_batches(cfg):

@@ -309,16 +309,16 @@ def test_trainer2d_preemption_resume(project, monkeypatch):
     # Deliver SIGTERM synchronously from inside the first train step's
     # host-side accuracy call — deterministic, but a real signal through
     # the installed handler; the guard check fires at the next step.
-    real_acc = t2d.calculate_accuracy
+    real_acc = t2d.accuracy_from_preds
     fired = []
 
-    def acc_then_sigterm(heatmaps, gt):
+    def acc_then_sigterm(preds, gt):
         if not fired:
             fired.append(True)
             signal.raise_signal(signal.SIGTERM)
-        return real_acc(heatmaps, gt)
+        return real_acc(preds, gt)
 
-    monkeypatch.setattr(t2d, "calculate_accuracy", acc_then_sigterm)
+    monkeypatch.setattr(t2d, "accuracy_from_preds", acc_then_sigterm)
     handler_before = signal.getsignal(signal.SIGTERM)
     trainer = t2d.EfficientTrackTrainer("CenterDetect", cfg, weights=None,
                                         run_name="PreemptRun")
@@ -334,7 +334,7 @@ def test_trainer2d_preemption_resume(project, monkeypatch):
     assert checkpoints.get_latest_train_state(
         project.get_cfg(), "CenterDetect") == state_path
 
-    monkeypatch.setattr(t2d, "calculate_accuracy", real_acc)
+    monkeypatch.setattr(t2d, "accuracy_from_preds", real_acc)
     trainer2 = t2d.EfficientTrackTrainer("CenterDetect", cfg, weights=None,
                                          run_name="PreemptRun2")
     results = trainer2.train(ds, ds, num_epochs=1, resume_from=state_path)
