@@ -25,20 +25,33 @@ def make_hybridnet_train_step(
     shard_cameras: bool = False,
 ):
     """Returns jitted ``step(params, opt_state, rng, batch) ->
-    (params, opt_state, loss)`` with dp (+ optional camera) shardings."""
+    (params, opt_state, loss)`` with dp (+ optional camera) shardings.
+
+    Batch contract matches Trainer3D's thin host↔device layout
+    (training/trainer3d.py): raw float/uint8 ``imgs`` are accepted as-is
+    (callers normalize or the model tolerates the scale for dryruns) and
+    the GT volume ships as ``kp_vox``/``keypoints3D``, rendered on device
+    (ops/heatmap.gaussian_heatmaps_3d_on_device)."""
+    from ..ops.heatmap import gaussian_heatmaps_3d_on_device
+
+    g2 = int(model.roi_cube_size / model.grid_spacing / 2)
     repl = NamedSharding(mesh, P())
     cam_axis = "cameras" if shard_cameras else None
     batch_shardings = {
         "imgs": NamedSharding(mesh, P("data", cam_axis)),
         "center_hm": NamedSharding(mesh, P("data", cam_axis)),
         "center3d": NamedSharding(mesh, P("data")),
-        "heatmap3d": NamedSharding(mesh, P("data")),
+        "kp_vox": NamedSharding(mesh, P("data")),
+        "keypoints3D": NamedSharding(mesh, P("data")),
         "camera_matrices": NamedSharding(mesh, P("data", cam_axis)),
         "intrinsics": NamedSharding(mesh, P("data", cam_axis)),
         "distortions": NamedSharding(mesh, P("data", cam_axis)),
     }
 
     def step(params, opt_state, rng, batch):
+        gt = gaussian_heatmaps_3d_on_device(
+            batch["kp_vox"], batch["keypoints3D"], g2)
+
         def loss_fn(p):
             hm_final, _, _, _ = model.apply(
                 {"params": p},
@@ -47,7 +60,6 @@ def make_hybridnet_train_step(
                 batch["distortions"],
                 deterministic=False, rngs={"dropout": rng},
             )
-            gt = batch["heatmap3d"].transpose(0, 2, 3, 4, 1)
             return hybridnet_mse_loss(hm_final, gt)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

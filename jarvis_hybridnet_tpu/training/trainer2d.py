@@ -236,6 +236,7 @@ class EfficientTrackTrainer:
                    "val_loss": 0, "val_acc": 0}
         history = {k: [] for k in
                    ("train_loss", "train_acc", "val_loss", "val_acc")}
+        results["history"] = history  # per-epoch curves (tests, GUI)
 
         from ..utils.st_monitor import StreamlitTrainingMonitor
         from ..utils.preemption import POD_POLL_STRIDE, PreemptionGuard

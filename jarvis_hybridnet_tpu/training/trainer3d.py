@@ -113,13 +113,22 @@ class HybridNetTrainer:
 
             repl = NamedSharding(mesh, P())
             data = NamedSharding(mesh, P("data"))
+            # camera-carrying leaves shard their C axis over 'cameras'
+            # (size-1 axis on data-only meshes — a no-op there); the
+            # reprojection layer's camera-mean then reduces over ICI
+            fs = NamedSharding(mesh, P("data", "cameras"))
+            batch_sh = {
+                "imgs": fs, "center_hm": fs, "center3d": data,
+                "kp_vox": data, "keypoints3D": data,
+                "camera_matrices": fs, "intrinsics": fs, "distortions": fs,
+            }
             train_jit = lambda f: jax.jit(  # noqa: E731
                 f,
-                in_shardings=(repl, repl, repl, repl, data),
+                in_shardings=(repl, repl, repl, repl, batch_sh),
                 out_shardings=(repl, repl, repl, data),
             )
             eval_jit = lambda f: jax.jit(  # noqa: E731
-                f, in_shardings=(repl, data), out_shardings=(repl, data)
+                f, in_shardings=(repl, batch_sh), out_shardings=(repl, data)
             )
         else:
             train_jit = eval_jit = jax.jit
@@ -163,7 +172,7 @@ class HybridNetTrainer:
               resume_from=None) -> dict:
         cfg = self.cfg.HYBRIDNET
         workers = int(self.cfg.get("DATALOADER_NUM_WORKERS", 4))
-        from ..parallel.mesh import auto_data_mesh
+        from ..parallel.mesh import auto_train_mesh
         from ..parallel.multihost import local_np, make_dp_loaders
 
         # thin host↔device contract: raw uint8 crops + voxel keypoints,
@@ -174,7 +183,8 @@ class HybridNetTrainer:
 
         maybe_preload(self.cfg, training_set, validation_set)
 
-        mesh = auto_data_mesh(int(cfg.BATCH_SIZE))
+        mesh = auto_train_mesh(int(cfg.BATCH_SIZE),
+                               int(cfg.NUM_CAMERAS))
         train_loader, val_loader = make_dp_loaders(
             training_set, validation_set, int(cfg.BATCH_SIZE), workers, mesh,
             worker_mode=str(self.cfg.get("DATALOADER_WORKER_MODE",
@@ -212,6 +222,7 @@ class HybridNetTrainer:
                    "val_loss": 0, "val_acc": 0}
         history = {k: [] for k in
                    ("train_loss", "train_acc", "val_loss", "val_acc")}
+        results["history"] = history  # per-epoch curves (tests, GUI)
         step = 0
 
         from ..utils.st_monitor import StreamlitTrainingMonitor

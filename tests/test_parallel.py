@@ -55,10 +55,11 @@ def test_sharded_train_step_matches_single_device():
     K[:, :, 2, 2] = 1.0
     K[:, :, 2, 0] = K[:, :, 2, 1] = 256.0
     D = np.zeros((B, C, 1, 5), np.float32)
-    hm3d = (rng.random((B, J, g2, g2, g2)) * 255).astype(np.float32)
+    kp_vox = (rng.random((B, J, 3)) * g2).astype(np.float32)
+    kp_world = rng.normal(size=(B, J, 3)).astype(np.float32)
     batch = {"imgs": imgs, "center_hm": center_hm, "center3d": center3d,
-             "heatmap3d": hm3d, "camera_matrices": P, "intrinsics": K,
-             "distortions": D}
+             "kp_vox": kp_vox, "keypoints3D": kp_world,
+             "camera_matrices": P, "intrinsics": K, "distortions": D}
 
     params = jax.jit(model.init)(jax.random.PRNGKey(0), imgs, center_hm, center3d,
                         P, K, D)["params"]
