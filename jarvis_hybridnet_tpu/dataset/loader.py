@@ -72,6 +72,23 @@ def _reseed_forked_rngs(dataset, epoch_seed: int) -> None:
 
 def _fork_worker_init(dataset, epoch_seed):
     # runs in the forked child once: stash the inherited dataset
+    import signal
+
+    # Forked workers inherit the parent's signal dispositions — including
+    # PreemptionGuard's SIGTERM handler, which swallows the first signal.
+    # Pool.terminate() kills workers BY SIGTERM, so an inherited guard
+    # handler makes workers unkillable: they log "saving a resumable
+    # train state" and keep blocking on the task queue, the pool join
+    # hangs, one pool leaks per epoch, and interpreter exit deadlocks in
+    # multiprocessing's atexit join (observed: 6 wedged workers, parent
+    # stuck in do_wait after a completed 100-epoch run). Preemption
+    # handling belongs to the parent only; workers must die on demand.
+    signal.signal(signal.SIGTERM, signal.SIG_DFL)
+    # Ctrl-C is delivered to the whole foreground process group; the
+    # parent turns it into a graceful stop + pool terminate, so workers
+    # ignore it rather than dying mid-batch with a stack-trace storm.
+    signal.signal(signal.SIGINT, signal.SIG_IGN)
+
     global _FORK_POOL_DATASET
     _FORK_POOL_DATASET = dataset
     _reseed_forked_rngs(dataset, epoch_seed)
@@ -298,7 +315,21 @@ class DataLoader:
                     put_checked(_ProducerError(e))
                 finally:
                     pool_proc.terminate()
-                    pool_proc.join()
+                    # Pool.join has no timeout and a wedged worker (e.g.
+                    # one forked before _fork_worker_init restored its
+                    # signal dispositions, or stuck in uninterruptible
+                    # IO) hangs it forever — which leaks one pool per
+                    # epoch and deadlocks interpreter exit. Bound the
+                    # join and escalate to SIGKILL.
+                    joiner = threading.Thread(target=pool_proc.join,
+                                              daemon=True)
+                    joiner.start()
+                    joiner.join(timeout=10.0)
+                    if joiner.is_alive():  # pragma: no cover - escalation
+                        for p in getattr(pool_proc, "_pool", []):
+                            if p.is_alive():
+                                p.kill()
+                        joiner.join(timeout=5.0)
 
             thread = threading.Thread(target=produce_proc, daemon=True)
         else:

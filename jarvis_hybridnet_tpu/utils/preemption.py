@@ -25,6 +25,7 @@ Only process 0 writes the checkpoint (train state is replicated).
 
 from __future__ import annotations
 
+import os
 import signal
 import threading
 
@@ -47,6 +48,7 @@ class PreemptionGuard:
 
     def __init__(self, signals=DEFAULT_SIGNALS):
         self._signals = tuple(signals)
+        self._pid = os.getpid()
         self._stop = threading.Event()
         self._prev: dict[int, object] = {}
         self._installed = False
@@ -55,6 +57,7 @@ class PreemptionGuard:
     # -- context management -------------------------------------------
     def __enter__(self):
         if threading.current_thread() is threading.main_thread():
+            self._pid = os.getpid()
             for sig in self._signals:
                 self._prev[sig] = signal.signal(sig, self._on_signal)
             self._installed = True
@@ -70,6 +73,15 @@ class PreemptionGuard:
 
     # -- signal path ---------------------------------------------------
     def _on_signal(self, signum, frame):
+        if os.getpid() != self._pid:
+            # Forked child inheriting this handler (dataloader fork-pool
+            # workers reset their dispositions at init, but a fork can
+            # land before that): the guard owns preemption in the PARENT
+            # only. Swallowing the signal here would make the child
+            # unkillable by Pool.terminate(); disown and die normally.
+            signal.signal(signum, signal.SIG_DFL)
+            signal.raise_signal(signum)
+            return
         if self._stop.is_set():
             # Second signal: give up gracefulness — restore the previous
             # handler and re-deliver, so the process can actually die.

@@ -255,6 +255,70 @@ def test_loader_process_workers():
         assert a["name"] == b["name"]
 
 
+def test_loader_process_workers_reaped_under_preemption_guard():
+    """Fork-pool workers must DIE when their epoch ends, even while the
+    parent has PreemptionGuard's SIGTERM handler installed. Regression:
+    workers inherited the handler at fork, so Pool.terminate()'s SIGTERM
+    was swallowed ('saving a resumable train state...' from a worker),
+    the pool join hung, one pool of workers leaked per epoch, and a
+    completed 100-epoch run deadlocked at interpreter exit in
+    multiprocessing's atexit join."""
+    import multiprocessing as mp
+    import time
+
+    from jarvis_hybridnet_tpu.dataset.loader import DataLoader
+    from jarvis_hybridnet_tpu.utils.preemption import PreemptionGuard
+
+    class DS:
+        def __len__(self):
+            return 12
+
+        def __getitem__(self, i):
+            return np.full((2,), i, np.float32)
+
+    before = {p.pid for p in mp.active_children()}
+    with PreemptionGuard():
+        dl = DataLoader(DS(), batch_size=4, num_workers=2,
+                        worker_mode="process")
+        for _ in range(3):  # one fresh pool per epoch
+            assert len(list(dl)) == 3
+    # producer threads terminate the pools asynchronously; give them a
+    # bounded grace period, then require every forked worker reaped
+    deadline = time.monotonic() + 20.0
+    while time.monotonic() < deadline:
+        leaked = {p.pid for p in mp.active_children()} - before
+        if not leaked:
+            break
+        time.sleep(0.2)
+    assert not leaked, f"leaked fork-pool workers: {leaked}"
+
+
+def test_fork_workers_reset_sigterm_disposition():
+    """Pins the root cause of the leak above deterministically: inside a
+    fork-pool worker the SIGTERM disposition must be SIG_DFL (so
+    Pool.terminate() actually kills it), and SIGINT must be SIG_IGN, even
+    while the parent has PreemptionGuard handlers installed."""
+    import signal as _signal
+
+    from jarvis_hybridnet_tpu.dataset.loader import DataLoader
+    from jarvis_hybridnet_tpu.utils.preemption import PreemptionGuard
+
+    class DS:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            term = _signal.getsignal(_signal.SIGTERM)
+            intr = _signal.getsignal(_signal.SIGINT)
+            return np.asarray([term is _signal.SIG_DFL,
+                               intr is _signal.SIG_IGN], bool)
+
+    with PreemptionGuard():
+        (batch,) = list(DataLoader(DS(), batch_size=4, num_workers=2,
+                                   worker_mode="process"))
+    assert batch.all(), batch
+
+
 def test_loader_process_workers_propagate_errors():
     from jarvis_hybridnet_tpu.dataset.loader import DataLoader
 
