@@ -467,16 +467,20 @@ def main_train():
     worker_mode = os.environ.get(
         "JARVIS_TRAIN_WORKER_MODE",
         str(cfg.get("DATALOADER_WORKER_MODE", "thread")))
-    ds = Dataset3D(cfg, set="val")
+    # production thin contract (training/trainer3d.py:_build_steps): raw
+    # uint8 crops + voxel keypoints ship; normalization and the Gaussian
+    # GT volume render on device
+    ds = Dataset3D(cfg, set="val", device_targets=True)
     loader = DataLoader(ds, batch_size=B, shuffle=False, drop_last=True,
                         num_workers=workers, worker_mode=worker_mode)
 
     def to_batch(b):
         return {
-            "imgs": np.asarray(b["imgs"], np.float32),
+            "imgs": np.asarray(b["imgs"]),
             "center_hm": np.asarray(b["center_hm"]),
             "center3d": np.asarray(b["center3d"]),
-            "heatmap3d": np.asarray(b["heatmap3d"], np.float32),
+            "kp_vox": np.asarray(b["kp_vox"], np.float32),
+            "keypoints3D": np.asarray(b["keypoints3D"], np.float32),
             "camera_matrices": np.asarray(b["camera_matrices"]),
             "intrinsics": np.asarray(b["intrinsics"]),
             "distortions": np.asarray(b["distortions"]),
@@ -513,15 +517,30 @@ def main_train():
     tx = optax.adamw(1e-4)
     opt_state = tx.init(params)
 
+    import jax.numpy as jnp
+
+    from jarvis_hybridnet_tpu.ops.heatmap import (
+        gaussian_heatmaps_3d_on_device,
+    )
+
+    g2 = int(float(cfg.HYBRIDNET.ROI_CUBE_SIZE)
+             / float(cfg.HYBRIDNET.GRID_SPACING) / 2.0)
+    mean = jnp.asarray(cfg.DATASET.MEAN, jnp.float32)
+    std = jnp.asarray(cfg.DATASET.STD, jnp.float32)
+
     @jax.jit
     def step(params, opt_state, rng, batch):
+        x = batch["imgs"].astype(jnp.float32) / 255.0
+        x = (x - mean) / std
+        gt = gaussian_heatmaps_3d_on_device(
+            batch["kp_vox"], batch["keypoints3D"], g2)
+
         def loss_fn(p):
             hm, _, _, _ = model.apply(
-                {"params": p}, batch["imgs"], batch["center_hm"],
+                {"params": p}, x, batch["center_hm"],
                 batch["center3d"], batch["camera_matrices"],
                 batch["intrinsics"], batch["distortions"],
                 deterministic=False, rngs={"dropout": rng})
-            gt = batch["heatmap3d"].transpose(0, 2, 3, 4, 1)
             return hybridnet_mse_loss(hm, gt)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -570,9 +589,213 @@ def main_train():
     }))
 
 
+def main_train_sweep():
+    """Batch-size sweep of the production (thin-contract) HybridNet train
+    step, device-resident batches: answers 'should an n-chip host shard
+    the camera axis at B=1 or raise BATCH_SIZE' with per-chip numbers
+    (VERDICT r3 #5). The repro layer is batched (models/repro.py) exactly
+    so B>1 is expressible — the reference is locked to batch 1
+    (jarvis/hybridnet/repro_layer.py:113)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import optax
+
+    from jarvis_hybridnet_tpu.config import ProjectManager
+    from jarvis_hybridnet_tpu.dataset.dataset3d import Dataset3D
+    from jarvis_hybridnet_tpu.models.hybridnet import (
+        HybridNetBackbone,
+        hybridnet_mse_loss,
+    )
+    from jarvis_hybridnet_tpu.ops.heatmap import (
+        gaussian_heatmaps_3d_on_device,
+    )
+    from jarvis_hybridnet_tpu.prediction.loaders import init_hybridnet_params
+    from jarvis_hybridnet_tpu.training import checkpoints
+
+    pm = ProjectManager(parent_dir="/root/reference")
+    assert pm.load("Example_Project")
+    cfg = pm.get_cfg()
+    ds = Dataset3D(cfg, set="val", device_targets=True)
+    sample = ds[0]
+
+    g2 = int(float(cfg.HYBRIDNET.ROI_CUBE_SIZE)
+             / float(cfg.HYBRIDNET.GRID_SPACING) / 2.0)
+    mean = jnp.asarray(cfg.DATASET.MEAN, jnp.float32)
+    std = jnp.asarray(cfg.DATASET.STD, jnp.float32)
+    model = HybridNetBackbone(
+        num_joints=int(cfg.KEYPOINTDETECT.NUM_JOINTS),
+        model_size=cfg.KEYPOINTDETECT.MODEL_SIZE,
+        roi_cube_size=int(cfg.HYBRIDNET.ROI_CUBE_SIZE),
+        grid_spacing=int(cfg.HYBRIDNET.GRID_SPACING),
+        repro_mode=str(cfg.TPU.REPRO_MODE),
+    )
+    params0 = init_hybridnet_params(cfg, seed=3)
+    params0["effTrack"] = checkpoints.load_efficienttrack_params(
+        cfg, "KeypointDetect",
+        "/root/reference/pretrained/MonkeyHand/"
+        "EfficientTrack_Keypoints-small.pth",
+        init_params=params0["effTrack"])
+    tx = optax.adamw(1e-4)
+    rng = jax.random.PRNGKey(0)
+
+    def rep(x, B):
+        x = np.asarray(x)
+        return np.broadcast_to(x[None], (B,) + x.shape).copy()
+
+    rows = []
+    for B in (1, 2, 4, 8):
+        batch = {k: rep(sample[k], B) for k in
+                 ("imgs", "center_hm", "center3d", "kp_vox", "keypoints3D",
+                  "camera_matrices", "intrinsics", "distortions")}
+
+        @jax.jit
+        def step(params, opt_state, rng, batch):
+            x = batch["imgs"].astype(jnp.float32) / 255.0
+            x = (x - mean) / std
+            gt = gaussian_heatmaps_3d_on_device(
+                batch["kp_vox"], batch["keypoints3D"], g2)
+
+            def loss_fn(p):
+                hm, _, _, _ = model.apply(
+                    {"params": p}, x, batch["center_hm"],
+                    batch["center3d"], batch["camera_matrices"],
+                    batch["intrinsics"], batch["distortions"],
+                    deterministic=False, rngs={"dropout": rng})
+                return hybridnet_mse_loss(hm, gt)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        params = jax.device_put(params0)
+        opt_state = tx.init(params)
+        dev_a = jax.device_put(batch)
+        alt = dict(batch)
+        alt["imgs"] = np.roll(batch["imgs"], 1, axis=3).copy()
+        dev_b = jax.device_put(alt)
+        params, opt_state, loss = step(params, opt_state, rng, dev_a)
+        _ = float(loss)
+        iters = 10
+        t0 = time.perf_counter()
+        for i in range(iters):
+            params, opt_state, loss = step(
+                params, opt_state, rng, dev_a if i % 2 == 0 else dev_b)
+        _ = float(loss)
+        dt = (time.perf_counter() - t0) / iters
+        rows.append({"B": B, "ms_per_step": round(dt * 1000, 1),
+                     "samples_per_s": round(B / dt, 2)})
+        print(f"B={B}: {dt*1000:7.1f} ms/step = {B/dt:6.2f} samples/s",
+              file=sys.stderr)
+    print(json.dumps({
+        "metric": "hybridnet train-step batch sweep (device-only)",
+        "value": max(r["samples_per_s"] for r in rows),
+        "unit": "samples/s",
+        "rows": rows,
+        "vs_baseline": None,
+    }))
+
+
+def main_transfer(n_frames=None):
+    """Transfer-overlap ceiling for the two-phase streaming path
+    (VERDICT r3 #7): the exact two-phase loop — native decode, lowres
+    ring + crop-window H2D, the tiny crop-center D2H sync, the one-deep
+    pending slot and ring recycling — with BOTH device phases replaced
+    by no-op jitted graphs (constant crop centers, scalar output). This
+    is everything in the round-3 stage table EXCEPT device compute, so
+    the decode-vs-transfer-vs-compute attribution becomes a measurement
+    instead of arithmetic."""
+    if n_frames is None:
+        n_frames = int(os.environ.get("JARVIS_STREAM_FRAMES", "64"))
+    import jax
+    import jax.numpy as jnp
+
+    from jarvis_hybridnet_tpu.prediction.video_io import (
+        NativeMultiCameraReader,
+        get_video_paths,
+    )
+
+    rec_dir, rig, _ = _streaming_fixture(n_frames)
+    paths = get_video_paths(rec_dir, rig.camera_names)
+    for p in paths:  # warm the page cache: measure decode, not disk
+        with open(p, "rb") as f:
+            f.read()
+
+    T = int(os.environ.get("JARVIS_BENCH_T", "8"))
+    factor, bbox = 4, 256
+    C = len(paths)
+    reader = NativeMultiCameraReader(paths, number_frames=n_frames,
+                                     batch_size=T, lowres_factor=factor)
+    W, H = reader.img_size
+    bbox_hw = bbox // 2
+
+    @jax.jit
+    def noop_a(low):
+        # depend on a sliver of the input so the result orders after the
+        # H2D completes, then return fixed full-res crop centers
+        s = low[:, :, 0, 0, 0].astype(jnp.float32) * 0.0
+        return (jnp.full(s.shape, W // 2, jnp.float32) + s,
+                jnp.full(s.shape, H // 2, jnp.float32) + s)
+
+    @jax.jit
+    def noop_b(crops):
+        return crops[:, :, 0, 0, 0].astype(jnp.float32).sum()
+
+    def crop_windows(full, cx, cy):
+        out = np.empty((full.shape[0], C, bbox, bbox, 3), np.uint8)
+        for t in range(full.shape[0]):
+            for c in range(C):
+                x0 = int(cx[t, c]) - bbox_hw
+                y0 = int(cy[t, c]) - bbox_hw
+                out[t, c] = full[t, c, y0:y0 + bbox, x0:x0 + bbox]
+        return out
+
+    mb_per_batch = (T * C * (H // factor) * (W // factor) * 3
+                    + T * C * bbox * bbox * 3) / 1e6
+
+    done, pending = 0, None
+    t0 = time.perf_counter()
+    for full, low, n in iter(reader._pool):
+        cx, cy = noop_a(jax.device_put(low))
+        crops = crop_windows(full, np.asarray(cx), np.asarray(cy))
+        out = noop_b(jax.device_put(crops))
+        if pending is not None:
+            _ = float(pending[0])
+            reader.recycle(pending[1])
+        pending = (out, full)
+        done += n
+    if pending is not None:
+        _ = float(pending[0])
+        reader.recycle(pending[1])
+    elapsed = time.perf_counter() - t0
+    reader.release()
+    rate = done / elapsed
+    h2d_mbps = rate / T * mb_per_batch
+    print(f"transfer-only: {rate:.2f} poses/s over {done} framesets "
+          f"({mb_per_batch:.1f} MB H2D/batch -> {h2d_mbps:.1f} MB/s "
+          f"sustained)", file=sys.stderr)
+    print(json.dumps({
+        "metric": "two-phase streaming transfer-only ceiling "
+                  "(decode + H2D, no device compute)",
+        "value": round(rate, 2),
+        "unit": "poses/s",
+        "h2d_mb_per_batch": round(mb_per_batch, 1),
+        "sustained_h2d_mbps": round(h2d_mbps, 1),
+        "vs_baseline": None,
+    }))
+
+
 if __name__ == "__main__":
     if "--streaming" in sys.argv:
         sys.exit(main_streaming())
+    if "--transfer" in sys.argv:
+        sys.exit(main_transfer())
+    if "--train-sweep" in sys.argv:
+        sys.exit(main_train_sweep())
     if "--decode" in sys.argv:
         sys.exit(main_decode())
     if "--fidelity" in sys.argv:
