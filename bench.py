@@ -19,11 +19,28 @@ import time
 import numpy as np
 
 
+_TRAINED_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "trained", "MonkeyHand")
+
+
 def _fidelity_checkpoint(cfg):
-    """HybridNet checkpoint used for perf-at-fidelity runs: seed-7 V2V +
-    the real pretrained KeypointDetect-small 2D weights — the same
-    construction the <2 mm golden test pins against torch
-    (tests/test_predictor_golden.py). Built once, cached on disk."""
+    """HybridNet checkpoint used for perf and fidelity runs.
+
+    Preferred: the committed TRAINED cascade (`trained/MonkeyHand/`,
+    `jarvis train all` on Example_Dataset — BASELINE.md accuracy
+    section), whose sharp voxel heatmaps are the regime that actually
+    stresses quarter-grid sampling and bf16 gathers. Fallback when the
+    trained artifact is absent: seed-7 V2V + pretrained KeypointDetect
+    2D weights, the construction the <2 mm golden test pins against
+    torch (tests/test_predictor_golden.py). Override with
+    JARVIS_BENCH_HYBRIDNET."""
+    env = os.environ.get("JARVIS_BENCH_HYBRIDNET")
+    if env:
+        return env
+    trained = os.path.join(_TRAINED_DIR, "HybridNet_final.ckpt")
+    if os.path.isfile(trained):
+        return trained
+
     from jarvis_hybridnet_tpu.prediction.loaders import init_hybridnet_params
     from jarvis_hybridnet_tpu.training import checkpoints
 
@@ -38,6 +55,20 @@ def _fidelity_checkpoint(cfg):
         )
         checkpoints.save_checkpoint(params, ckpt)
     return ckpt
+
+
+def _center_weights():
+    """CenterDetect weights paired with ``_fidelity_checkpoint``: the
+    trained-cascade checkpoint when committed, else the reference
+    pretrain."""
+    env = os.environ.get("JARVIS_BENCH_CENTERDETECT")
+    if env:
+        return env
+    trained = os.path.join(_TRAINED_DIR, "CenterDetect_final.ckpt")
+    if os.path.isfile(trained):
+        return trained
+    return ("/root/reference/pretrained/MonkeyHand/"
+            "EfficientTrack_Center-small.pth")
 
 
 def main():
@@ -62,15 +93,14 @@ def main():
         "12Cam_Ralph"
     ]
     ckpt = _fidelity_checkpoint(cfg)
-    print(f"hybridnet checkpoint: {ckpt} (seed-7 V2V + pretrained "
-          f"KeypointDetect-small 2D; <2 mm fast-vs-exact guarded by "
-          f"bench.py --fidelity)", file=sys.stderr)
+    center_w = _center_weights()
+    print(f"hybridnet checkpoint: {ckpt}\ncenterdetect weights: {center_w}"
+          f"\n(fast-vs-exact mm deviation guarded by bench.py --fidelity)",
+          file=sys.stderr)
     predictor = make_predictor3d(
         cfg,
         rig,
-        weights_center_detect=(
-            "/root/reference/pretrained/MonkeyHand/"
-            "EfficientTrack_Center-small.pth"),
+        weights_center_detect=center_w,
         weights_hybridnet=ckpt,
     )
 
@@ -267,8 +297,7 @@ def main_streaming(n_frames=None):
     assert pm.load("Example_Project")
     cfg = pm.get_cfg()
     cfg.DATASET.IMAGE_SIZE = [1280, 1024]
-    center_w = ("/root/reference/pretrained/MonkeyHand/"
-                "EfficientTrack_Center-small.pth")
+    center_w = _center_weights()
     ckpt = _fidelity_checkpoint(cfg)
 
     def run(num):
@@ -360,7 +389,6 @@ def main_fidelity():
     cfg = pm.get_cfg()
     cfg.DATASET.IMAGE_SIZE = [1280, 1024]
 
-    pretrain = "/root/reference/pretrained/MonkeyHand"
     ckpt = _fidelity_checkpoint(cfg)
 
     rig = load_camera_rigs("/root/reference/datasets/Example_Dataset")[
@@ -381,7 +409,7 @@ def main_fidelity():
     T = 8
     batch = np.broadcast_to(frames, (T,) + frames.shape).copy()
 
-    center_w = f"{pretrain}/EfficientTrack_Center-small.pth"
+    center_w = _center_weights()
 
     import copy
 
