@@ -451,7 +451,9 @@ def main_fidelity():
     _ = float(out[0][0, 0, 0])
     pps = iters * T / (time.perf_counter() - t0)
 
-    print(f"checkpoint={ckpt} (seed-7 V2V + real KeypointDetect-small 2D) "
+    kind = ("trained cascade" if ckpt.startswith(_TRAINED_DIR)
+            else "seed-7 V2V + pretrained KeypointDetect-small 2D")
+    print(f"checkpoint={ckpt} ({kind}) "
           f"fast_mode={cfg.TPU.REPRO_MODE}", file=sys.stderr)
     print(json.dumps({
         "metric": "predict3D fast-vs-exact max deviation (on-chip)",

@@ -99,7 +99,12 @@ def get_default_cfg() -> CfgNode:
 
     # HybridNet (reference: :88-99). BATCH_SIZE default of 1 matches the
     # reference config, but unlike the reference (repro_layer.py:113 processes
-    # only batch element 0) the TPU implementation is fully batched.
+    # only batch element 0) the TPU implementation is fully batched: the
+    # measured device-only sweep (BASELINE.md "3D train-step batch sweep")
+    # peaks at B=8 with 3.0x the B=1 per-chip sample rate — hosts with >=7
+    # loader cores should set 8; B=1 stays the default because single-digit-
+    # core hosts are loader-bound long before the device batch matters and
+    # B=1 reproduces the reference's LR schedule and steps/epoch exactly.
     c.HYBRIDNET = CfgNode()
     c.HYBRIDNET.NUM_CAMERAS = 0
     c.HYBRIDNET.ROI_CUBE_SIZE = None
