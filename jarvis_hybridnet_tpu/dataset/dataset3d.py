@@ -58,7 +58,9 @@ class Dataset3D(BaseDataset):
             all_names = list(
                 next(iter(self.dataset["calibrations"].values())).keys()
             )
-            keep = set(next(iter(self.rigs.values())).camera_names)
+            # NB: the builtin `set` is shadowed by the split-name parameter
+            # (kept as `set` for reference API parity) in this scope
+            keep = frozenset(next(iter(self.rigs.values())).camera_names)
             self.use_idxs = [i for i, c in enumerate(all_names) if c in keep]
         else:
             self.use_idxs = None
