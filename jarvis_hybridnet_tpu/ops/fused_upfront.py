@@ -62,20 +62,41 @@ def _contract_delta(w: jnp.ndarray, axis: int, lo: bool) -> jnp.ndarray:
     return jnp.tensordot(d, jnp.moveaxis(w, axis, 0), axes=(0, 0))
 
 
+# conv dimension_numbers by remaining spatial rank (corrections squeeze the
+# contracted axes away — see note in fused_up_conv3d)
+_DN_BY_RANK = {
+    3: ("NDHWC", "DHWIO", "NDHWC"),
+    2: ("NHWC", "HWIO", "NHWC"),
+    1: ("NWC", "WIO", "NWC"),
+}
+
+
 def fused_up_conv3d(
     x: jnp.ndarray,      # (B, L, L, L, Cin) half-resolution volume
     kernel: jnp.ndarray,  # (3, 3, 3, Cin, Cout) — the stride-2 front kernel
     bias: jnp.ndarray,    # (Cout,)
     dtype=None,
 ) -> jnp.ndarray:
-    """== conv(stride=2, pad=1)(trilinear_up2(x)) exactly, on the half grid."""
+    """== conv(stride=2, pad=1)(trilinear_up2(x)) exactly, on the half grid.
+
+    The boundary-correction convolutions SQUEEZE the contracted axes and run
+    at the matching rank (2D for faces, 1D for edges, a matmul for corners)
+    instead of keeping size-1 spatial dims on a 3D conv. Rank-5 convs with a
+    size-1 spatial dim are mathematically identical, but the TPU backend
+    miscompiles their *input gradient*: deterministic NaNs appear at interior
+    rows of the face grad (reproduced in isolation — finite x/kernel/
+    cotangent, all-linear op, NaN d/dx on TPU, clean on CPU). That backward
+    is exactly what end-to-end ('all'-mode) HybridNet training
+    differentiates through, so the workaround lives in the forward
+    formulation where it also removes 36 degenerate conv kernels.
+    """
     dtype = dtype or x.dtype
-    dn = ("NDHWC", "DHWIO", "NDHWC")
 
     def conv(inp, w, pads):
+        rank = inp.ndim - 2
         return jax.lax.conv_general_dilated(
-            inp.astype(dtype), w.astype(dtype), window_strides=(1, 1, 1),
-            padding=pads, dimension_numbers=dn,
+            inp.astype(dtype), w.astype(dtype), window_strides=(1,) * rank,
+            padding=pads, dimension_numbers=_DN_BY_RANK[rank],
         )
 
     w_in = _transform_interior(kernel)
@@ -97,24 +118,22 @@ def fused_up_conv3d(
                 for a, lo in sorted(zip(axes, faces)):
                     w = _contract_delta(w, a - consumed, lo)
                     consumed += 1
-                # slice x at the boundary of each contracted axis
+                # slice x at the boundary of each contracted axis, then
+                # drop those (now size-1) axes entirely
                 sl = [slice(None)] * 5
                 out_sl = [slice(None)] * 5
                 for a, lo in zip(axes, faces):
                     sl[1 + a] = slice(0, 1) if lo else slice(-1, None)
                     out_sl[1 + a] = slice(0, 1) if lo else slice(-1, None)
-                piece = x[tuple(sl)]
-                # remaining (uncontracted) axes convolve with pad 1
-                pads = [(1, 1) if a not in axes else (0, 0) for a in (0, 1, 2)]
-                corr = conv(piece, _pad_kernel_dims(w, axes), pads)
+                piece = jnp.squeeze(x[tuple(sl)], axis=tuple(1 + a for a in axes))
+                if subset_size == 3:
+                    # corner: pure channel mixing, w is (Cin, Cout)
+                    corr = piece.astype(dtype) @ w.astype(dtype)
+                else:
+                    # remaining (uncontracted) axes convolve with pad 1
+                    pads = [(1, 1)] * (3 - subset_size)
+                    corr = conv(piece, w, pads)
+                corr = jnp.expand_dims(corr, tuple(1 + a for a in axes))
                 y = y.at[tuple(out_sl)].add(corr)
 
     return y + bias.astype(dtype)
-
-
-def _pad_kernel_dims(w: jnp.ndarray, contracted_axes) -> jnp.ndarray:
-    """Re-insert size-1 spatial dims for contracted axes so the kernel is
-    rank-5 again for conv_general_dilated."""
-    for a in sorted(contracted_axes):
-        w = jnp.expand_dims(w, a)
-    return w

@@ -35,6 +35,43 @@ def test_fused_matches_unfused(L, cin, cout):
     assert err < 1e-4 * scale, err
 
 
+def test_fused_vjp_matches_unfused():
+    """Gradients of the fused op == gradients of upsample2 -> stride-2 conv.
+
+    Regression test for the 'all'-mode training NaN: the original
+    formulation ran the boundary corrections as rank-5 convs with size-1
+    spatial dims, whose *input gradient* the TPU backend miscompiles into
+    deterministic NaNs (finite forward, all-linear op). The corrections now
+    run at squeezed rank; this pins both finiteness and exactness of the
+    whole vjp against the unfused composition.
+    """
+    rng = np.random.default_rng(1)
+    L, cin, cout = 10, 3, 4
+    x = jnp.asarray(rng.standard_normal((2, L, L, L, cin)).astype(np.float32))
+    kernel = jnp.asarray(
+        rng.standard_normal((3, 3, 3, cin, cout)).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32))
+
+    def unfused(xx, kk, bb):
+        up = jnp.moveaxis(
+            upsample_trilinear(jnp.moveaxis(xx, 4, 1), 2 * L), 1, 4)
+        return jax.lax.conv_general_dilated(
+            up, kk, window_strides=(2, 2, 2), padding=[(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        ) + bb
+
+    out_f, vjp_f = jax.vjp(fused_up_conv3d, x, kernel, bias)
+    out_u, vjp_u = jax.vjp(unfused, x, kernel, bias)
+    ct = jnp.asarray(rng.standard_normal(out_f.shape).astype(np.float32))
+    grads_f = jax.jit(vjp_f)(ct)
+    grads_u = jax.jit(vjp_u)(ct)
+    for gf, gu, name in zip(grads_f, grads_u, ("x", "kernel", "bias")):
+        gf, gu = np.asarray(gf), np.asarray(gu)
+        assert np.isfinite(gf).all(), f"non-finite d/d{name}"
+        scale = max(np.abs(gu).max(), 1.0)
+        assert np.abs(gf - gu).max() < 1e-4 * scale, name
+
+
 def test_hybridnet_half_fused_matches_half(example_dataset):
     """Full HybridNet forward: 'half_fused' == 'half' with shared params."""
     from jarvis_hybridnet_tpu.models.hybridnet import HybridNetBackbone
