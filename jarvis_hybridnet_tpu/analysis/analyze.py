@@ -67,11 +67,17 @@ def analyze_validation_data(
     progress_bar=None,
     frame_batch=8,
     max_framesets=None,
+    repro_mode=None,
 ):
     project = ProjectManager()
     if not project.load(project_name):
         return None
     cfg = project.get_cfg()
+    if repro_mode is not None:
+        # protocol-level fidelity comparisons (BASELINE.md "Fidelity at the
+        # trained checkpoint"): run the same eval in exact/half_fused/
+        # quarter_fused numerics without editing the project config
+        cfg.TPU.REPRO_MODE = repro_mode
 
     output_dir = os.path.join(
         project.parent_dir, cfg.PROJECTS_ROOT_PATH, project_name,

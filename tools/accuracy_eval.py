@@ -53,6 +53,9 @@ def main():
                     default=os.path.join(_TRAINED, "HybridNet_final.ckpt"))
     ap.add_argument("--dir", default=None,
                     help="existing Validation_Predictions_* dir (skip predict)")
+    ap.add_argument("--repro-mode", default=None,
+                    help="override TPU.REPRO_MODE (exact/half_fused/"
+                         "quarter_fused) for protocol-level fidelity rows")
     args = ap.parse_args()
 
     out_dir = args.dir
@@ -65,6 +68,7 @@ def main():
             args.project,
             weights_center=args.weights_center,
             weights_hybridnet=args.weights_hybridnet,
+            repro_mode=args.repro_mode,
         )
         if out_dir is None:
             sys.exit(1)
