@@ -36,9 +36,12 @@ from .base import BaseDataset
 
 
 def _to_uint8(img: np.ndarray) -> np.ndarray:
-    """0..1 float RGB -> uint8 for the thin H2D path. Quantization to
-    1/255 steps only round-trips what the JPEG source already was; the
-    jitted step divides by 255 and normalizes on device."""
+    """0..1 float RGB -> uint8 for the thin H2D path; the jitted step
+    divides by 255 and normalizes on device. For unaugmented JPEG
+    sources this round-trips exactly; after bilinear resize or train
+    augmentation (blur/contrast/affine interpolation) values are no
+    longer 1/255 multiples, so quantization adds up to 1/510 per pixel
+    — accepted by design (≪ the augmentation noise itself)."""
     return np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
 
 
@@ -121,16 +124,21 @@ class Dataset2D(BaseDataset):
         img = self._load_image(idx)
         bboxs, _ = self._load_annotations(idx)
         has_subject = bboxs[0][4] != -1
+        # (-1, -1) is the explicit "no subject" sentinel (cache-safe: a
+        # genuine bbox center is always >= 0, unlike the old (0, 0)
+        # overload where an annotation truncating to the origin would be
+        # silently treated as a negative sample)
         center = np.array(
             [(bboxs[0][0] + bboxs[0][2]) / 2, (bboxs[0][1] + bboxs[0][3]) / 2],
             np.float32,
-        ) if has_subject else np.zeros(2, np.float32)
+        ) if has_subject else np.full(2, -1.0, np.float32)
 
         # resize to the CenterDetect input size, rescaling the target
         sx = size / img.shape[1]
         sy = size / img.shape[0]
         img = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
-        center = center * np.array([sx, sy], np.float32)
+        if has_subject:
+            center = center * np.array([sx, sy], np.float32)
         return img, center
 
     def _get_item_center(self, idx):
@@ -141,15 +149,16 @@ class Dataset2D(BaseDataset):
             center = self._cache_kps[idx].copy()
         else:
             img, center = self._base_center(idx)
-        # pre-aug (0, 0) encodes "no subject in frame" (negative sample)
-        has_subject = bool(center[0] != 0 or center[1] != 0)
+        # pre-aug (-1, -1) encodes "no subject in frame" (negative sample)
+        has_subject = bool(center[0] >= 0)
 
         if self.set_name == "train":
             img, kps = self.augpipe(img, center[None])
             center = kps[0]
         if not has_subject:
-            # keep negatives' center at the (0, 0) sentinel: augmentation
-            # must not turn an empty frame into a bogus target/GT point
+            # downstream contract stays (0, 0): target rendering and the
+            # px-accuracy mask skip zero keypoints; augmentation must not
+            # turn an empty frame into a bogus target/GT point
             center = np.zeros(2, np.float32)
 
         keypoints = np.concatenate([center, [1.0]])[None].astype(np.float32)

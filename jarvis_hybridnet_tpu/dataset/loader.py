@@ -124,7 +124,10 @@ def available_ram_bytes() -> int:
                     return int(line.split()[1]) * 1024
     except OSError:  # pragma: no cover
         pass
-    return 4 << 30  # pragma: no cover
+    try:  # pragma: no cover - non-Linux fallback (no /proc/meminfo)
+        return (os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE"))
+    except (ValueError, OSError, AttributeError):  # pragma: no cover
+        return 4 << 30
 
 
 def maybe_preload(cfg, *datasets) -> None:
@@ -262,6 +265,17 @@ class DataLoader:
             pool_proc = ctx.Pool(self.num_workers,
                                  initializer=_fork_worker_init,
                                  initargs=(self.dataset, epoch_seed))
+            # pin the worker Process handles now: the SIGKILL escalation
+            # below must not depend on Pool._pool (a private attribute)
+            # still existing at teardown time
+            pool_workers = list(getattr(pool_proc, "_pool", None) or [])
+            if not pool_workers:  # pragma: no cover - stdlib drift
+                from ..utils import clp
+
+                clp.warning(
+                    "multiprocessing.Pool no longer exposes worker "
+                    "processes (_pool); wedged-worker SIGKILL escalation "
+                    "is disabled for this run")
 
             def produce_proc():
                 it = iter(batches)
@@ -326,7 +340,7 @@ class DataLoader:
                     joiner.start()
                     joiner.join(timeout=10.0)
                     if joiner.is_alive():  # pragma: no cover - escalation
-                        for p in getattr(pool_proc, "_pool", []):
+                        for p in pool_workers:
                             if p.is_alive():
                                 p.kill()
                         joiner.join(timeout=5.0)

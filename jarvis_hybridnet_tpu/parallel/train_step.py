@@ -23,16 +23,25 @@ def make_hybridnet_train_step(
     tx: optax.GradientTransformation,
     mesh: Mesh,
     shard_cameras: bool = False,
+    mean: tuple = (0.485, 0.456, 0.406),
+    std: tuple = (0.229, 0.224, 0.225),
 ):
     """Returns jitted ``step(params, opt_state, rng, batch) ->
     (params, opt_state, loss)`` with dp (+ optional camera) shardings.
 
     Batch contract matches Trainer3D's thin host↔device layout
-    (training/trainer3d.py): raw float/uint8 ``imgs`` are accepted as-is
-    (callers normalize or the model tolerates the scale for dryruns) and
-    the GT volume ships as ``kp_vox``/``keypoints3D``, rendered on device
+    (training/trainer3d.py): ``imgs`` ship raw (uint8 or 0..255 float)
+    and are /255 + mean/std normalized inside the step (same fused
+    prepare as Trainer3D's production step — reference
+    jarvis/dataset/dataset2D.py:272-281 Normalizer); the GT volume
+    ships as ``kp_vox``/``keypoints3D``, rendered on device
     (ops/heatmap.gaussian_heatmaps_3d_on_device)."""
+    import jax.numpy as jnp
+
     from ..ops.heatmap import gaussian_heatmaps_3d_on_device
+
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
 
     g2 = int(model.roi_cube_size / model.grid_spacing / 2)
     repl = NamedSharding(mesh, P())
@@ -49,13 +58,14 @@ def make_hybridnet_train_step(
     }
 
     def step(params, opt_state, rng, batch):
+        x = (batch["imgs"].astype(jnp.float32) / 255.0 - mean) / std
         gt = gaussian_heatmaps_3d_on_device(
             batch["kp_vox"], batch["keypoints3D"], g2)
 
         def loss_fn(p):
             hm_final, _, _, _ = model.apply(
                 {"params": p},
-                batch["imgs"], batch["center_hm"], batch["center3d"],
+                x, batch["center_hm"], batch["center3d"],
                 batch["camera_matrices"], batch["intrinsics"],
                 batch["distortions"],
                 deterministic=False, rngs={"dropout": rng},
