@@ -18,8 +18,11 @@ def get_default_cfg() -> CfgNode:
     # 'process' (forked workers, the torch DataLoader analog: no GIL
     # against the consumer, augmentation scales with cores — measured
     # 2.9x faster end-to-end even on one core, BASELINE.md training
-    # table) or 'thread' (GIL-releasing decode parallelism only; fallback
-    # where fork is unavailable/unsafe).
+    # table), 'thread' (GIL-releasing decode parallelism only; fallback
+    # where fork is unavailable/unsafe), or 'forkserver'/'spawn'
+    # (clean-child processes, no copy-on-write dataset inheritance; for
+    # datasets that violate the workers-never-touch-JAX invariant — see
+    # docs/troubleshooting.md "os.fork() warnings").
     c.DATALOADER_WORKER_MODE = "process"
     # 'auto' | 'on' | 'off': cache the deterministic pre-augmentation part
     # of every training sample (decoded/resized/cropped uint8) in RAM once,

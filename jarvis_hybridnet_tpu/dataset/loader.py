@@ -15,6 +15,14 @@ TPU pipeline. Two worker modes:
   pickled numpy buffers. Sidesteps the GIL entirely, so augmentation
   scales with cores; fork (not spawn) means the dataset object and its
   COCO index are inherited copy-on-write with zero per-worker setup.
+* ``worker_mode='forkserver' | 'spawn'``: same batch-building protocol
+  through a clean-child multiprocessing context. Forking a parent whose
+  JAX backend is live is safe here ONLY because workers never touch
+  JAX (see docs/troubleshooting.md "os.fork() warnings"); these modes
+  exist for callers who run arbitrary code in ``Dataset.__getitem__``
+  and want children that inherit no parent threads/locks at all. Costs:
+  the dataset is pickled to every worker each epoch (no copy-on-write
+  inheritance), so prefer 'process' unless the invariant is violated.
 
 Batches are emitted in submission order in both modes, and a bounded
 prefetch queue lets host data building overlap device compute.
@@ -188,7 +196,8 @@ class DataLoader:
         self.seed = seed
         self._epoch = 0
         self.num_workers = max(0, int(num_workers))
-        assert worker_mode in ("thread", "process"), worker_mode
+        assert worker_mode in ("thread", "process", "forkserver",
+                               "spawn"), worker_mode
         self.worker_mode = worker_mode if self.num_workers else "thread"
 
     def set_epoch(self, epoch: int) -> None:
@@ -250,14 +259,19 @@ class DataLoader:
                     put_checked(_ProducerError(e))
 
             thread = threading.Thread(target=produce_serial, daemon=True)
-        elif self.worker_mode == "process":
+        elif self.worker_mode in ("process", "forkserver", "spawn"):
             import multiprocessing as mp
 
-            # fork from the calling thread (not the producer thread): the
-            # children inherit only this moment's state and never touch
-            # jax/XLA, so the usual fork-after-backend-init hazards don't
-            # apply to the worker loop
-            ctx = mp.get_context("fork")
+            # 'process' forks from the calling thread (not the producer
+            # thread): the children inherit only this moment's state and
+            # never touch jax/XLA, so the usual fork-after-backend-init
+            # hazards don't apply to the worker loop (invariant pinned by
+            # tests/test_dataset.py fork-after-device-activity stress).
+            # 'forkserver'/'spawn' children start clean instead; the
+            # initializer args (incl. the dataset) are pickled to them.
+            ctx = mp.get_context(
+                "fork" if self.worker_mode == "process"
+                else self.worker_mode)
             # a fresh seed every epoch, derived from the ABSOLUTE epoch:
             # re-forked pools never replay a previous epoch's augmentation
             # streams, including across preemption resumes (set_epoch)

@@ -27,9 +27,12 @@ class ThreadLocalGenerator:
     generator. :meth:`reseed` swaps the root and discards per-thread
     state — used by forked process workers to decorrelate after fork.
 
-    Not picklable (holds a ``threading.local``); dataset objects are
-    shared by reference with thread workers and inherited by fork with
-    process workers, so nothing in the loader path pickles them.
+    Pickles by root seed only (the ``threading.local`` and lock are
+    rebuilt empty on unpickle): 'forkserver'/'spawn' loader workers
+    receive the dataset by pickle, and their initializer reseeds every
+    stream anyway (``dataset/loader._reseed_forked_rngs``); 'thread' and
+    'process' (fork) workers share/inherit by reference and never
+    pickle.
     """
 
     def __init__(self, seed=None):
@@ -37,6 +40,14 @@ class ThreadLocalGenerator:
         self._tls = threading.local()
         self._seq = (seed if isinstance(seed, np.random.SeedSequence)
                      else np.random.SeedSequence(seed))
+
+    def __getstate__(self):
+        return {"_seq": self._seq}
+
+    def __setstate__(self, state):
+        self._lock = threading.Lock()
+        self._tls = threading.local()
+        self._seq = state["_seq"]
 
     def reseed(self, seed=None) -> None:
         with self._lock:
