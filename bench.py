@@ -499,13 +499,30 @@ def main_train():
         str(cfg.get("DATALOADER_WORKER_MODE", "thread")))
     # production thin contract (training/trainer3d.py:_build_steps): raw
     # uint8 crops + voxel keypoints ship; normalization and the Gaussian
-    # GT volume render on device
+    # GT volume render on device — and with TPU.DEVICE_AUG (the default)
+    # so does the color augmentation (ops/augment.py), the host shipping
+    # only per-camera parameters
+    from jarvis_hybridnet_tpu.ops.augment import (
+        make_color_aug,
+        sample_color_params,
+    )
+
+    device_aug = (bool(cfg.TPU.DEVICE_AUG)
+                  and bool(cfg.AUGMENTATION.COLOR_MANIPULATION.ENABLED))
+    color_aug = make_color_aug(cfg.AUGMENTATION) if device_aug else None
+    aug_rng = np.random.default_rng(7)
+    C = int(cfg.HYBRIDNET.NUM_CAMERAS)
     ds = Dataset3D(cfg, set="val", device_targets=True)
     loader = DataLoader(ds, batch_size=B, shuffle=False, drop_last=True,
                         num_workers=workers, worker_mode=worker_mode)
 
+    def batch_aug_params(nB):
+        p = sample_color_params(
+            cfg.AUGMENTATION.COLOR_MANIPULATION, aug_rng, nB * C)
+        return {k: v.reshape((nB, C) + v.shape[1:]) for k, v in p.items()}
+
     def to_batch(b):
-        return {
+        out = {
             "imgs": np.asarray(b["imgs"]),
             "center_hm": np.asarray(b["center_hm"]),
             "center3d": np.asarray(b["center3d"]),
@@ -515,6 +532,9 @@ def main_train():
             "intrinsics": np.asarray(b["intrinsics"]),
             "distortions": np.asarray(b["distortions"]),
         }
+        if device_aug:
+            out["aug"] = batch_aug_params(out["imgs"].shape[0])
+        return out
 
     # host-only rate
     import time as _t
@@ -530,13 +550,22 @@ def main_train():
     host_rate = n_host / (_t.perf_counter() - t0)
 
     # device-only rate (batch resident on device; params from a real
-    # KeypointDetect pretrain so compute is representative)
+    # KeypointDetect pretrain so compute is representative).
+    # JARVIS_TRAIN_DTYPE=bfloat16 measures the mixed-precision training
+    # path (TPU.TRAIN_DTYPE, trainer3d.py:45-53: bf16 compute, f32
+    # params/optimizer) against the f32 default.
+    import jax.numpy as _jnp
+
+    train_dtype = os.environ.get(
+        "JARVIS_TRAIN_DTYPE",
+        str(cfg.get("TPU", {}).get("TRAIN_DTYPE", "float32")))
     model = HybridNetBackbone(
         num_joints=int(cfg.KEYPOINTDETECT.NUM_JOINTS),
         model_size=cfg.KEYPOINTDETECT.MODEL_SIZE,
         roi_cube_size=int(cfg.HYBRIDNET.ROI_CUBE_SIZE),
         grid_spacing=int(cfg.HYBRIDNET.GRID_SPACING),
         repro_mode=str(cfg.TPU.REPRO_MODE),
+        dtype=_jnp.bfloat16 if train_dtype == "bfloat16" else _jnp.float32,
     )
     params = init_hybridnet_params(cfg, seed=3)
     params["effTrack"] = checkpoints.load_efficienttrack_params(
@@ -561,6 +590,8 @@ def main_train():
     @jax.jit
     def step(params, opt_state, rng, batch):
         x = batch["imgs"].astype(jnp.float32) / 255.0
+        if device_aug:  # production train step includes on-device aug
+            x = color_aug(x, batch["aug"])
         x = (x - mean) / std
         gt = gaussian_heatmaps_3d_on_device(
             batch["kp_vox"], batch["keypoints3D"], g2)
@@ -603,7 +634,7 @@ def main_train():
     _ = float(loss)
     e2e_rate = n / (_t.perf_counter() - t0)
 
-    print(f"train stage table (samples/s, batch={B}, "
+    print(f"train stage table (samples/s, batch={B}, dtype={train_dtype}, "
           f"workers={workers}/{worker_mode}): host-only "
           f"{host_rate:.2f}, device-only {dev_rate:.2f}, "
           f"end-to-end {e2e_rate:.2f} "
@@ -613,6 +644,7 @@ def main_train():
         "metric": "hybridnet train samples/sec (12-cam, end-to-end)",
         "value": round(e2e_rate, 3),
         "unit": "samples/s",
+        "dtype": train_dtype,
         "host_only": round(host_rate, 2),
         "device_only": round(dev_rate, 2),
         "vs_baseline": None,
@@ -652,6 +684,18 @@ def main_train_sweep():
     ds = Dataset3D(cfg, set="val", device_targets=True)
     sample = ds[0]
 
+    # match the production train step: on-device color aug included
+    from jarvis_hybridnet_tpu.ops.augment import (
+        make_color_aug,
+        sample_color_params,
+    )
+
+    device_aug = (bool(cfg.TPU.DEVICE_AUG)
+                  and bool(cfg.AUGMENTATION.COLOR_MANIPULATION.ENABLED))
+    color_aug = make_color_aug(cfg.AUGMENTATION) if device_aug else None
+    aug_rng = np.random.default_rng(7)
+    n_cam = int(cfg.HYBRIDNET.NUM_CAMERAS)
+
     g2 = int(float(cfg.HYBRIDNET.ROI_CUBE_SIZE)
              / float(cfg.HYBRIDNET.GRID_SPACING) / 2.0)
     mean = jnp.asarray(cfg.DATASET.MEAN, jnp.float32)
@@ -681,10 +725,17 @@ def main_train_sweep():
         batch = {k: rep(sample[k], B) for k in
                  ("imgs", "center_hm", "center3d", "kp_vox", "keypoints3D",
                   "camera_matrices", "intrinsics", "distortions")}
+        if device_aug:
+            p = sample_color_params(
+                cfg.AUGMENTATION.COLOR_MANIPULATION, aug_rng, B * n_cam)
+            batch["aug"] = {k: v.reshape((B, n_cam) + v.shape[1:])
+                            for k, v in p.items()}
 
         @jax.jit
         def step(params, opt_state, rng, batch):
             x = batch["imgs"].astype(jnp.float32) / 255.0
+            if device_aug:
+                x = color_aug(x, batch["aug"])
             x = (x - mean) / std
             gt = gaussian_heatmaps_3d_on_device(
                 batch["kp_vox"], batch["keypoints3D"], g2)

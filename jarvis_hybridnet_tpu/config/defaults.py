@@ -124,6 +124,11 @@ def get_default_cfg() -> CfgNode:
     c.TPU = CfgNode()
     c.TPU.INFERENCE_DTYPE = "bfloat16"  # compute dtype on the inference path
     c.TPU.TRAIN_DTYPE = "float32"
+    # run color augmentation inside the jitted 3D train step (the host
+    # samples only per-image parameters; ops/augment.py) — removes the
+    # largest GIL-held host cost of the sample build (34.2 ms = 33%,
+    # BASELINE.md host split) from the loader's critical path
+    c.TPU.DEVICE_AUG = True
     c.TPU.MESH_DATA_AXIS = -1  # -1: all devices on the data axis
     c.TPU.MESH_CAMERA_AXIS = 1
     c.TPU.COMPILE_CACHE = "on"  # persistent XLA compilation cache

@@ -25,7 +25,7 @@ from .base import BaseDataset
 
 class Dataset3D(BaseDataset):
     def __init__(self, cfg, set="train", analysisMode=False,
-                 device_targets=False, **kwargs):
+                 device_targets=False, device_aug=False, **kwargs):
         self.analysisMode = analysisMode
         # trainers set this: samples then carry raw uint8 crops + voxel
         # keypoints instead of normalized f32 crops + rendered (J, g2^3)
@@ -34,6 +34,12 @@ class Dataset3D(BaseDataset):
         # cuts both host time (the 3D stamp was ~20% of __getitem__,
         # BASELINE.md) and per-step H2D bytes by ~5x.
         self.device_targets = device_targets
+        # trainers set this too (TPU.DEVICE_AUG): train samples then skip
+        # the host color pipeline — the largest GIL-held sample-build
+        # cost (34.2 ms = 33%, BASELINE.md host split) — and instead
+        # carry a per-camera parameter record (ops/augment.
+        # sample_color_params); the pixel work runs in the jitted step.
+        self.device_aug = device_aug
         super().__init__(cfg, cfg.DATASET.DATASET_3D, set, **kwargs)
 
         img = self._load_image(0)
@@ -168,11 +174,22 @@ class Dataset3D(BaseDataset):
         rig = self.rigs[fs["datasetName"]]
 
         C = self.num_cameras
+        # raw-uint8 fast path: when nothing touches the pixels on the
+        # host (val split, or train with on-device augmentation), the
+        # native/cached uint8 crops ship as-is — no f32 round trip, no
+        # re-quantization (pixels reach the device bit-identical to the
+        # JPEG source)
+        use_dev_aug = (self.device_targets and self.device_aug
+                       and self.set_name == "train" and not self.analysisMode
+                       and bool(cfg.AUGMENTATION.COLOR_MANIPULATION.ENABLED))
+        raw_u8 = (self.device_targets and not self.analysisMode
+                  and (use_dev_aug or self.set_name != "train"))
         if self.analysisMode:
             img0 = self._load_image(frame_ids[0], is_id=True)
             imgs = np.zeros((C,) + img0.shape, np.float32)
         else:
-            imgs = np.zeros((C, bbox_size, bbox_size, 3), np.float32)
+            imgs = np.zeros((C, bbox_size, bbox_size, 3),
+                            np.uint8 if raw_u8 else np.float32)
         center_hm = np.full((C, 2), 128, int)
 
         sizes = []
@@ -207,16 +224,20 @@ class Dataset3D(BaseDataset):
                 cx, cy = center_hm[ci]
                 img = cache[img_id][cy - bbox_hw: cy + bbox_hw,
                                     cx - bbox_hw: cx + bbox_hw]
-                img = img.astype(np.float32) / 255.0
+                if not raw_u8:
+                    img = img.astype(np.float32) / 255.0
             elif crops is not None:
-                img = crops[ci].astype(np.float32) / 255.0
+                img = crops[ci] if raw_u8 \
+                    else crops[ci].astype(np.float32) / 255.0
             else:
                 img = self._load_image(img_id, is_id=True)
                 if not self.analysisMode:
                     cx, cy = center_hm[ci]
                     img = img[cy - bbox_hw: cy + bbox_hw,
                               cx - bbox_hw: cx + bbox_hw]
-            if self.set_name == "train":
+                if raw_u8:
+                    img = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            if self.set_name == "train" and not use_dev_aug:
                 img, _ = self.augpipe(img)
             imgs[ci] = img
 
@@ -246,9 +267,14 @@ class Dataset3D(BaseDataset):
             "dataset_name": fs["datasetName"],
         }
         if self.device_targets and not self.analysisMode:
-            sample["imgs"] = np.clip(
+            sample["imgs"] = imgs if raw_u8 else np.clip(
                 imgs * 255.0 + 0.5, 0, 255).astype(np.uint8)
             sample["kp_vox"] = kp_vox.astype(np.float32)
+            if use_dev_aug:
+                from ..ops.augment import sample_color_params
+
+                sample["aug"] = sample_color_params(
+                    cfg.AUGMENTATION.COLOR_MANIPULATION, self.augpipe.rng, C)
         else:
             g2 = int(cube / spacing / 2.0)
             sample["heatmap3d"] = gaussian_heatmaps_3d(kp_vox, kp3d, g2)

@@ -78,7 +78,16 @@ class HybridNetTrainer:
         (reference: hybridnet.py:367-388)."""
         self.training_mode = mode
 
-    def _build_steps(self, tx, mesh=None):
+    def _device_aug(self) -> bool:
+        """True when color augmentation runs inside the jitted step
+        (TPU.DEVICE_AUG, ops/augment.py) — the host then ships raw uint8
+        crops plus a per-camera parameter record instead of spending
+        34.2 ms/sample (33% of the build, BASELINE.md host split) in the
+        GIL-held numpy/cv2 color pass."""
+        return (bool(self.cfg.get("TPU", {}).get("DEVICE_AUG", True))
+                and bool(self.cfg.AUGMENTATION.COLOR_MANIPULATION.ENABLED))
+
+    def _build_steps(self, tx, mesh=None, device_aug=False):
         """Fresh jitted step closures per train() call (a static-self
         method jit would cache the first optimizer/freeze-label trace
         across set_training_mode + retrain).
@@ -101,9 +110,18 @@ class HybridNetTrainer:
                  / float(self.cfg.HYBRIDNET.GRID_SPACING) / 2.0)
         mean = jnp.asarray(self.cfg.DATASET.MEAN, jnp.float32)
         std = jnp.asarray(self.cfg.DATASET.STD, jnp.float32)
+        if device_aug:
+            from ..ops.augment import make_color_aug
 
-        def prepare(batch):
+            color_aug = make_color_aug(self.cfg.AUGMENTATION)
+
+        def prepare(batch, train=False):
             x = batch["imgs"].astype(jnp.float32) / 255.0
+            if train and device_aug:
+                # on-device color augmentation (ops/augment.py): pixels
+                # arrive raw uint8, the host shipped only per-camera
+                # parameters in batch['aug']
+                x = color_aug(x, batch["aug"])
             x = (x - mean) / std
             gt = gaussian_heatmaps_3d_on_device(
                 batch["kp_vox"], batch["keypoints3D"], g2)
@@ -122,9 +140,16 @@ class HybridNetTrainer:
                 "kp_vox": data, "keypoints3D": data,
                 "camera_matrices": fs, "intrinsics": fs, "distortions": fs,
             }
+            # aug parameters lead with (B, C): shard like the images so
+            # the noise/blur math stays local to each camera shard
+            train_sh = dict(batch_sh)
+            if device_aug:
+                from ..ops.augment import PARAM_KEYS
+
+                train_sh["aug"] = {k: fs for k in PARAM_KEYS}
             train_jit = lambda f: jax.jit(  # noqa: E731
                 f,
-                in_shardings=(repl, repl, repl, repl, batch_sh),
+                in_shardings=(repl, repl, repl, repl, train_sh),
                 out_shardings=(repl, repl, repl, data),
             )
             eval_jit = lambda f: jax.jit(  # noqa: E731
@@ -135,7 +160,7 @@ class HybridNetTrainer:
 
         @train_jit
         def train_step(params, opt_state, lr_scale, rng, batch):
-            x, gt = prepare(batch)
+            x, gt = prepare(batch, train=True)
 
             def loss_fn(p):
                 hm_final, _, points3d, _ = model.apply(
@@ -176,9 +201,18 @@ class HybridNetTrainer:
         from ..parallel.multihost import local_np, make_dp_loaders
 
         # thin host↔device contract: raw uint8 crops + voxel keypoints,
-        # GT volumes rendered on device (see _build_steps)
+        # GT volumes rendered on device (see _build_steps); with
+        # TPU.DEVICE_AUG the train split also skips the host color pass
+        # and ships per-camera aug parameters instead (ops/augment.py)
         training_set.device_targets = True
         validation_set.device_targets = True
+        # effective only on a real train split (dataset3d gates identically;
+        # tests that train on the val split keep the no-'aug' batch pytree,
+        # so the jitted signature stays consistent with the loader output)
+        device_aug = (self._device_aug()
+                      and training_set.set_name == "train"
+                      and not training_set.analysisMode)
+        training_set.device_aug = device_aug
         from ..dataset.loader import maybe_preload
 
         maybe_preload(self.cfg, training_set, validation_set)
@@ -202,7 +236,8 @@ class HybridNetTrainer:
             self.tx = optim.make_optimizer(
                 cfg.OPTIMIZER, float(cfg.MAX_LEARNING_RATE), labels)
             plateau = optim.PlateauScheduler(float(cfg.MAX_LEARNING_RATE))
-        train_step, eval_step = self._build_steps(self.tx, mesh)
+        train_step, eval_step = self._build_steps(
+            self.tx, mesh, device_aug=device_aug)
         opt_state = self.tx.init(self.params)
         if resume_from is not None:
             self.params, opt_state, start_epoch = \
@@ -233,7 +268,7 @@ class HybridNetTrainer:
         monitor.start(num_epochs)
 
         def to_batch(b):
-            return {
+            out = {
                 "imgs": b["imgs"],  # raw uint8, normalized on device
                 "center_hm": b["center_hm"],
                 "center3d": b["center3d"],
@@ -243,6 +278,9 @@ class HybridNetTrainer:
                 "intrinsics": b["intrinsics"],
                 "distortions": b["distortions"],
             }
+            if "aug" in b:  # train split with TPU.DEVICE_AUG
+                out["aug"] = b["aug"]
+            return out
 
         guard = PreemptionGuard()
         with guard:

@@ -1,9 +1,16 @@
-"""Augmentation pipeline tests (all random branches exercised)."""
+"""Augmentation pipeline tests (all random branches exercised), plus
+host<->device equivalence for the on-device color pipeline
+(ops/augment.py, TPU.DEVICE_AUG)."""
 
 import numpy as np
 
 from jarvis_hybridnet_tpu.config import get_default_cfg
 from jarvis_hybridnet_tpu.dataset.augmentation import AugmentationPipeline
+from jarvis_hybridnet_tpu.ops.augment import (
+    PARAM_KEYS,
+    make_color_aug,
+    sample_color_params,
+)
 
 
 def test_all_branches_run():
@@ -34,6 +41,110 @@ def test_flip_moves_keypoints():
     assert out[:, -5:].min() == 1.0  # left band moved right
     assert moved[0, 0] == 63 - 10
     assert moved[0, 1] == 20
+
+
+def _pinned_color_cfg(sigma=0.4):
+    """Every component fires with a single-point parameter range, so the
+    host pipeline's internal draws and sample_color_params produce the
+    SAME values and the two pipelines are comparable pixel-for-pixel.
+    Noise stays off here — it is distribution-equivalent by construction
+    (independent normal fields), never bitwise."""
+    cfg = get_default_cfg().AUGMENTATION
+    cm = cfg.COLOR_MANIPULATION
+    cm.ENABLED = True
+    cm.GAUSSIAN_BLUR.PROBABILITY = 1.0
+    cm.GAUSSIAN_BLUR.SIGMA = [sigma, sigma]
+    cm.GAUSSIAN_NOISE.SCALE = [0.0, 0.0]
+    cm.LINEAR_CONTRAST.PROBABILITY = 1.0
+    cm.LINEAR_CONTRAST.SCALE = [1.13, 1.13]
+    cm.MULTIPLY.PROBABILITY = 1.0
+    cm.MULTIPLY.SCALE = [0.9, 0.9]
+    cm.PER_CHANNEL_MULTIPLY.PROBABILITY = 1.0
+    cm.PER_CHANNEL_MULTIPLY.PER_CHANNEL_PROBABILITY = 0.0
+    cm.PER_CHANNEL_MULTIPLY.SCALE = [1.07, 1.07]
+    return cfg
+
+
+def test_device_color_aug_matches_host_pinned():
+    """ops/augment.py device pipeline == AugmentationPipeline._color at
+    pinned parameters — blur taps/edges (cv2 GaussianBlur ksize=(0,0),
+    BORDER_REFLECT_101), op order, and the single final clip. σ=0.4 and
+    0.5 both map to radius 2 under cv2's ksize rule AND ours."""
+    import jax.numpy as jnp
+
+    for sigma in (0.4, 0.5):
+        cfg = _pinned_color_cfg(sigma)
+        img = np.random.default_rng(3).random((40, 48, 3), np.float64)
+        img = img.astype(np.float32)
+        host = AugmentationPipeline(cfg, mirror=False, affine=False,
+                                    seed=0)._color(img)
+
+        params = sample_color_params(cfg.COLOR_MANIPULATION,
+                                     np.random.default_rng(1), 2)
+        assert set(params) == set(PARAM_KEYS)
+        apply = make_color_aug(cfg)
+        dev = np.asarray(apply(
+            jnp.asarray(np.stack([img, img])),
+            {k: jnp.asarray(v) for k, v in params.items()}))
+        np.testing.assert_allclose(dev[0], host, atol=2e-4)
+        np.testing.assert_allclose(dev[1], host, atol=2e-4)
+
+
+def test_device_color_aug_zero_sigma_is_identity():
+    """Images whose blur didn't fire (sigma 0 -> delta taps) pass through
+    the static-radius separable blur unchanged."""
+    import jax.numpy as jnp
+
+    cfg = _pinned_color_cfg(0.5)
+    cm = cfg.COLOR_MANIPULATION
+    cm.LINEAR_CONTRAST.SCALE = [1.0, 1.0]
+    cm.MULTIPLY.SCALE = [1.0, 1.0]
+    cm.PER_CHANNEL_MULTIPLY.SCALE = [1.0, 1.0]
+    apply = make_color_aug(cfg)
+    img = np.random.default_rng(5).random((16, 16, 3)).astype(np.float32)
+    params = sample_color_params(cm, np.random.default_rng(2), 2)
+    params["blur_sigma"] = np.array([0.0, 0.5], np.float32)
+    out = np.asarray(apply(jnp.asarray(np.stack([img, img])),
+                           {k: jnp.asarray(v) for k, v in params.items()}))
+    np.testing.assert_allclose(out[0], img, atol=1e-6)  # delta kernel
+    assert np.abs(out[1] - img).max() > 1e-3  # real blur happened
+
+
+def test_device_color_aug_noise_per_channel_flag():
+    """noise_pc=0 broadcasts ONE field across channels (host path's
+    (H, W, 1) draw); noise_pc=1 gives independent per-channel fields;
+    realized noise std tracks the requested scale."""
+    import jax.numpy as jnp
+
+    cfg = get_default_cfg().AUGMENTATION
+    cm = cfg.COLOR_MANIPULATION
+    cm.ENABLED = True
+    cm.GAUSSIAN_BLUR.PROBABILITY = 0.0
+    cm.GAUSSIAN_NOISE.SCALE = [0.05, 0.05]
+    cm.LINEAR_CONTRAST.PROBABILITY = 0.0
+    cm.MULTIPLY.PROBABILITY = 0.0
+    cm.PER_CHANNEL_MULTIPLY.PROBABILITY = 0.0
+    apply = make_color_aug(cfg)
+    img = np.full((64, 64, 3), 0.5, np.float32)
+    params = sample_color_params(cm, np.random.default_rng(0), 2)
+    params["noise_pc"] = np.array([0.0, 1.0], np.float32)
+    out = np.asarray(apply(jnp.asarray(np.stack([img, img])),
+                           {k: jnp.asarray(v) for k, v in params.items()}))
+    d = out - img
+    # shared field: channels identical
+    np.testing.assert_allclose(d[0, :, :, 0], d[0, :, :, 1], atol=1e-7)
+    # independent fields: channels differ
+    assert np.abs(d[1, :, :, 0] - d[1, :, :, 1]).max() > 1e-3
+    assert 0.03 < d[0].std() < 0.07  # std ~ scale (clip shaves a little)
+
+
+def test_device_color_aug_disabled_passthrough():
+    cfg = get_default_cfg().AUGMENTATION
+    cfg.COLOR_MANIPULATION.ENABLED = False
+    apply = make_color_aug(cfg)
+    img = np.random.default_rng(1).random((8, 8, 3)).astype(np.float32)
+    out = apply(img[None], None)
+    np.testing.assert_array_equal(np.asarray(out)[0], img)
 
 
 def test_affine_rotates_keypoints_with_image():

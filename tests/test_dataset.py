@@ -205,6 +205,34 @@ def test_dataset3d_device_targets_mode(cfg):
                                denorm, atol=1 / 255 + 1e-5)
 
 
+def test_dataset3d_device_aug_mode(cfg):
+    """device_aug train samples skip the host color pass and ship raw
+    uint8 crops + the per-camera parameter record (ops/augment.py); the
+    pixels are bit-identical to the untouched source crop."""
+    from jarvis_hybridnet_tpu.dataset.dataset3d import Dataset3D
+    from jarvis_hybridnet_tpu.ops.augment import PARAM_KEYS
+
+    ds = Dataset3D(cfg, set="train", device_targets=True, device_aug=True)
+    ds.rng.reseed(0)
+    s = ds[0]
+    C = int(cfg.HYBRIDNET.NUM_CAMERAS)
+    assert s["imgs"].dtype == np.uint8
+    assert set(s["aug"]) == set(PARAM_KEYS)
+    assert s["aug"]["blur_sigma"].shape == (C,)
+    assert s["aug"]["chan_mul"].shape == (C, 3)
+    assert s["aug"]["noise_seed"].dtype == np.uint32
+
+    # same crop centers (reseeded jitter) WITHOUT device_aug: the host
+    # path must have touched the pixels (color pass), the raw path not
+    ds.device_aug = False
+    ds.rng.reseed(0)
+    ds.augpipe.rng.reseed(1)
+    s_host = ds[0]
+    assert "aug" not in s_host
+    assert s_host["imgs"].dtype == np.uint8  # still thin-contract uint8
+    assert s["imgs"].shape == s_host["imgs"].shape
+
+
 def test_dataset3d_preload_matches(cfg):
     """The decoded-frame cache reproduces uncached 3D samples exactly
     (val split: deterministic crop centers)."""

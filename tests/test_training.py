@@ -167,6 +167,48 @@ def test_trainer3d_converges(project, monkeypatch):
     assert h["train_acc"][-1] < h["train_acc"][0], h["train_acc"]
 
 
+def test_trainer3d_device_aug_train_path(project, monkeypatch):
+    """TPU.DEVICE_AUG end-to-end through the production Trainer3D.train:
+    the loader ships raw uint8 + per-camera aug params, the jitted step
+    applies ops/augment.py's color pipeline, and training still
+    converges on an overfit micro-run (the augmentation must perturb,
+    not destroy, the signal)."""
+    from jarvis_hybridnet_tpu.dataset.dataset3d import Dataset3D
+    from jarvis_hybridnet_tpu.parallel import mesh as mesh_mod
+    from jarvis_hybridnet_tpu.training.trainer3d import HybridNetTrainer
+
+    monkeypatch.setattr(mesh_mod, "auto_train_mesh", lambda *a, **k: None)
+
+    cfg = project.get_cfg()
+    cfg.HYBRIDNET.BATCH_SIZE = 1
+    cfg.HYBRIDNET.GRID_SPACING = 4
+    cfg.KEYPOINTDETECT.BOUNDING_BOX_SIZE = 128
+    cfg.HYBRIDNET.USE_ONECYLCLE = False
+    cfg.HYBRIDNET.MAX_LEARNING_RATE = 0.02
+    assert bool(cfg.TPU.DEVICE_AUG)  # the production default under test
+
+    ds = Dataset3D(cfg, set="train")  # real train split: aug path active
+    ds.frameset_keys = ds.frameset_keys[:2]
+    ds.keypoints3D = ds.keypoints3D[:2]
+    val = Dataset3D(cfg, set="val")
+    val.frameset_keys = val.frameset_keys[:1]
+    val.keypoints3D = val.keypoints3D[:1]
+
+    trainer = HybridNetTrainer(
+        "train", cfg, weights=None,
+        efficienttrack_weights=(
+            "/root/reference/pretrained/MonkeyHand/"
+            "EfficientTrack_Keypoints-small.pth"),
+        run_name="DevAug3D", training_mode="3D_only",
+    )
+    results = trainer.train(ds, val, num_epochs=6)
+    assert ds.device_aug is True  # the path actually activated
+    assert ds[0].get("aug") is not None
+    h = results["history"]
+    assert np.isfinite(h["train_loss"]).all()
+    assert h["train_loss"][-1] < h["train_loss"][0], h["train_loss"]
+
+
 def test_trainer2d_resume(project):
     """Full-state resume: params + optimizer + epoch round-trip."""
     import jax

@@ -1,19 +1,24 @@
 """Per-component cost profile of the Dataset3D train sample build.
 
-Differencing scheme on the SAME dataset (train split) so numbers are
-comparable despite this VM's noisy allocator:
+Profiles the PRODUCTION thin host<->device contract
+(``device_targets=True``, training/trainer3d.py:_build_steps — raw uint8
+crops ship, Gaussian GT volumes render on device), so the components are:
 
-  a) full train item            (decode+crop, aug, targets, normalize)
+  a) full train item            (decode+crop, aug, uint8 pack)
   b) item with aug disabled     (augpipe swapped for identity)
   c) native decode+crop alone
-  d) 3D target synthesis alone
 
-aug = a - b; other-GIL (normalize, index, collate prep) = b - c - d.
-Medians over reps. The GIL-holding fraction (everything but c) is the
-Amdahl ceiling for the thread-mode loader; process mode has none, so
-cores-to-match-device = device_rate * a.
+aug = a - b; other-GIL (index, uint8 convert, collate prep) = b - c.
+Medians over reps, differenced on the SAME dataset so numbers are
+comparable despite this VM's noisy allocator. The GIL-holding fraction
+(everything but c) is the Amdahl ceiling for the thread-mode loader;
+process mode has none, so cores-to-match-device = device_rate * a.
+For reference it also times the HOST-side 3D target synthesis the thin
+contract removed from the sample path (pre-round-4 it was the largest
+GIL component at 26.4 ms).
 
-Usage: PYTHONPATH=. python tools/train_host_profile.py [n_samples]
+Usage: PYTHONPATH=. python tools/train_host_profile.py \
+           [n_samples] [device_samples_per_s]
 """
 
 import statistics
@@ -43,7 +48,7 @@ def main():
     assert pm.load("Example_Project")
     cfg = pm.get_cfg()
 
-    ds = Dataset3D(cfg, set="train")
+    ds = Dataset3D(cfg, set="train", device_targets=True)
     idxs = [i % len(ds) for i in range(n)]
     for i in idxs[:4]:  # warm page cache
         ds[i]
@@ -87,30 +92,45 @@ def main():
     g2 = int(cube / spacing / 2.0)
     kp3d = ds.keypoints3D[idxs[0]]
     kp_vox = (kp3d + cube / 2.0) / spacing / 2.0
+    # NOT in the thin-contract sample path — measured only to quantify
+    # what moving targets on-device removed from the host budget
     tgt = med_ms(lambda _: gaussian_heatmaps_3d(kp_vox, kp3d, g2),
                  range(len(idxs)))
 
+    # PRODUCTION default since round 5 (TPU.DEVICE_AUG): the host skips
+    # the color pass entirely and ships raw uint8 + a parameter record
+    # sampled in microseconds (ops/augment.py)
+    ds.device_aug = True
+    try:
+        dev_aug_item = med_ms(lambda i: ds[i], idxs)
+    finally:
+        ds.device_aug = False
+
     aug = full - no_aug
-    other = no_aug - dec - tgt
-    gil = aug + tgt + max(0.0, other)
+    other = no_aug - dec
+    gil = aug + max(0.0, other)
     gil_frac = gil / full
 
-    print(f"samples: {n} (medians)")
+    print(f"samples: {n} (medians, thin contract: device_targets=True)")
+    print(f"PRODUCTION item (TPU.DEVICE_AUG on): {dev_aug_item:8.2f} "
+          f"ms/sample ({1e3 / dev_aug_item:.2f} samples/s single-core)")
+    print(f"host-aug item (TPU.DEVICE_AUG off — the split below):")
     print(f"full train item:             {full:8.2f} ms/sample "
           f"({1e3 / full:.2f} samples/s single-core)")
     print(f"  native decode+crop (C++, GIL-free): {dec:8.2f} ms "
           f"({dec / full * 100:4.1f}%)")
     print(f"  augmentation (GIL):                 {aug:8.2f} ms "
           f"({aug / full * 100:4.1f}%)")
-    print(f"  3D targets (GIL):                   {tgt:8.2f} ms "
-          f"({tgt / full * 100:4.1f}%)")
-    print(f"  normalize/index/other (GIL):        {other:8.2f} ms "
+    print(f"  uint8/index/other (GIL):            {other:8.2f} ms "
           f"({other / full * 100:4.1f}%)")
+    print(f"[removed by thin contract: host 3D targets would be "
+          f"{tgt:.2f} ms]")
     print(f"GIL-holding fraction: {gil_frac * 100:.1f}% -> thread-mode "
           f"Amdahl ceiling {1.0 / gil_frac:.2f}x; process mode has none")
-    dev = 19.81  # BASELINE.md device-only samples/s
+    dev = float(sys.argv[2]) if len(sys.argv) > 2 else 61.8  # B=8, r4
     print(f"process-mode cores to match device ({dev} samples/s): "
-          f"{dev * full / 1e3:.1f}")
+          f"{dev * full / 1e3:.1f} with host aug, "
+          f"{dev * dev_aug_item / 1e3:.1f} with device aug")
 
 
 if __name__ == "__main__":
