@@ -209,6 +209,7 @@ def test_predict3d_end_to_end_matches_reference(cpu_reference, cfg,
     assert np.abs(np.asarray(j_conf)[0] - t_conf[0]).max() < 0.02
 
 
+@pytest.mark.slow
 def test_predict3d_twophase_matches_fused(cfg, example_dataset, tmp_path):
     """The split streaming cascade (lowres CenterDetect + host crops,
     predictor3d.build_predict3d_twophase) must agree with the fused

@@ -70,6 +70,7 @@ def test_checkpoint_schema_matches_models(cfg, trained_ckpts):
         fresh_hybrid)
 
 
+@pytest.mark.slow
 def test_trained_cascade_accuracy_bound(cfg, reference_dir):
     """Two real val framesets through the production cascade must land
     within a loose bound (median < 10 mm; committed quality is ~2.5 mm).

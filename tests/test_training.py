@@ -96,6 +96,7 @@ def test_trainer2d_smoke(project):
     tmodel.load_state_dict(sd, strict=True)
 
 
+@pytest.mark.slow
 def test_trainer2d_converges(project):
     """Overfit a tiny subset from scratch: loss must drop well below its
     first-epoch average and px accuracy must improve — catches sign
@@ -125,6 +126,7 @@ def test_trainer2d_converges(project):
     assert h["train_acc"][-1] < 0.5 * h["train_acc"][0], h["train_acc"]
 
 
+@pytest.mark.slow
 def test_trainer3d_converges(project, monkeypatch):
     """3D_only overfit on two framesets: loss halves and mm accuracy
     improves (reference in-training mm tracking:
@@ -146,6 +148,9 @@ def test_trainer3d_converges(project, monkeypatch):
     # at an aggressive overfitting LR (24 steps total)
     cfg.HYBRIDNET.USE_ONECYLCLE = False
     cfg.HYBRIDNET.MAX_LEARNING_RATE = 0.02
+    # assertions read train_loss/train_acc only; skipping the per-epoch
+    # val pass saves ~15 s of 1-core wall time with zero coverage loss
+    cfg.HYBRIDNET.VAL_INTERVAL = 100
 
     ds = Dataset3D(cfg, set="val")
     ds.frameset_keys = ds.frameset_keys[:2]
@@ -167,6 +172,7 @@ def test_trainer3d_converges(project, monkeypatch):
     assert h["train_acc"][-1] < h["train_acc"][0], h["train_acc"]
 
 
+@pytest.mark.slow
 def test_trainer3d_device_aug_train_path(project, monkeypatch):
     """TPU.DEVICE_AUG end-to-end through the production Trainer3D.train:
     the loader ships raw uint8 + per-camera aug params, the jitted step
@@ -185,6 +191,7 @@ def test_trainer3d_device_aug_train_path(project, monkeypatch):
     cfg.KEYPOINTDETECT.BOUNDING_BOX_SIZE = 128
     cfg.HYBRIDNET.USE_ONECYLCLE = False
     cfg.HYBRIDNET.MAX_LEARNING_RATE = 0.02
+    cfg.HYBRIDNET.VAL_INTERVAL = 100  # assertions read train_loss only
     assert bool(cfg.TPU.DEVICE_AUG)  # the production default under test
 
     ds = Dataset3D(cfg, set="train")  # real train split: aug path active
@@ -209,6 +216,7 @@ def test_trainer3d_device_aug_train_path(project, monkeypatch):
     assert h["train_loss"][-1] < h["train_loss"][0], h["train_loss"]
 
 
+@pytest.mark.slow
 def test_trainer2d_resume(project):
     """Full-state resume: params + optimizer + epoch round-trip."""
     import jax
@@ -272,6 +280,7 @@ def test_trainer2d_multichip_mesh(project):
     assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_trainer3d_camera_mesh_matches_single_device(project, monkeypatch):
     """At the shipped HYBRIDNET.BATCH_SIZE=1, the production Trainer3D
     engages the chips through the CAMERA axis (auto_train_mesh ->
@@ -323,6 +332,7 @@ def test_trainer3d_camera_mesh_matches_single_device(project, monkeypatch):
                                rtol=5e-4)
 
 
+@pytest.mark.slow
 def test_trainer3d_freeze_modes(project):
     """'3D_only' must leave the 2D net untouched and update the V2V net."""
     from jarvis_hybridnet_tpu.dataset.dataset3d import Dataset3D
@@ -451,6 +461,7 @@ def test_preemption_stop_is_pod_wide(monkeypatch):
         assert guard.should_stop_global()
 
 
+@pytest.mark.slow
 def test_trainer2d_preemption_resume(project, monkeypatch):
     """SIGTERM mid-training (the TPU-fleet preemption path) saves a full
     resumable train state at the next step boundary and returns with
