@@ -104,10 +104,11 @@ def get_default_cfg() -> CfgNode:
     # reference config, but unlike the reference (repro_layer.py:113 processes
     # only batch element 0) the TPU implementation is fully batched: the
     # measured device-only sweep (BASELINE.md "3D train-step batch sweep")
-    # peaks at B=8 with 3.0x the B=1 per-chip sample rate — hosts with >=7
-    # loader cores should set 8; B=1 stays the default because single-digit-
-    # core hosts are loader-bound long before the device batch matters and
-    # B=1 reproduces the reference's LR schedule and steps/epoch exactly.
+    # peaks at B=8 with 3.0x the B=1 per-chip sample rate — after round 5's
+    # ROI decode + on-device aug the loader feeds B=8 from ~1.5 cores
+    # (24.9 ms/sample, BASELINE.md host split), so most hosts can set 8;
+    # B=1 stays the default because it reproduces the reference's LR
+    # schedule and steps/epoch exactly.
     c.HYBRIDNET = CfgNode()
     c.HYBRIDNET.NUM_CAMERAS = 0
     c.HYBRIDNET.ROI_CUBE_SIZE = None

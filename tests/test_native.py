@@ -57,6 +57,27 @@ def test_decode_crop_batch(lib_ok, jpeg_paths):
     assert np.array_equal(out2[0], full[:256, :256])
 
 
+def test_decode_crop_batch_roi_bit_identical(lib_ok, jpeg_paths):
+    """The ROI decode fast path (libjpeg-turbo jpeg_crop_scanline +
+    jpeg_skip_scanlines, jarvis_host.cpp) must be BIT-identical to a full
+    decode + crop everywhere — including corners/edges, where the clamped
+    window touches the frame boundary, and interior positions where the
+    16 px discard margin must fully restore fancy-upsampling context."""
+    full = native.decode_jpeg(jpeg_paths[0])
+    H, W = full.shape[:2]
+    bbox, hw = 256, 128
+    rng = np.random.default_rng(7)
+    cases = [(0, 0), (W, H), (0, H), (W, 0), (W // 2, H // 2), (5, 700),
+             (W - 5, 3)] + [tuple(c) for c in rng.integers(0, [W, H], (8, 2))]
+    for cx, cy in cases:
+        centers = np.array([[cx, cy]], np.int32)
+        out = native.decode_crop_batch(jpeg_paths[:1], centers, bbox, W, H)
+        ccx = min(max(hw, cx), W - hw)
+        ccy = min(max(hw, cy), H - hw)
+        exp = full[ccy - hw:ccy + hw, ccx - hw:ccx + hw]
+        assert np.array_equal(out[0], exp), (cx, cy)
+
+
 def test_corrupt_jpeg_returns_none(lib_ok, jpeg_paths, tmp_path):
     """A truncated/corrupt file must fail the call, not exit() the
     process (libjpeg's default error_exit would)."""
