@@ -781,6 +781,165 @@ def main_train_sweep():
     }))
 
 
+def main_train2d():
+    """EfficientTrack (2D) training throughput on Example_Dataset — the
+    reference's `train centerDetect` / `train keypointDetect` workflows
+    (jarvis/efficienttrack/efficienttrack.py:188-330). Mirrors the
+    production trainer (training/trainer2d.py): RAM preload of decoded
+    crops (maybe_preload), host augmentation pipeline, thin uint8+kps
+    host->device contract, on-device Gaussian targets, argmax-coords-only
+    readback. Reports host-only sample-build rate, device-only step rate
+    and overlapped end-to-end samples/s.
+
+    Env: JARVIS_TRAIN2D_MODE (CenterDetect|KeypointDetect, default
+    KeypointDetect), JARVIS_TRAIN_BENCH_B (default cfg batch size),
+    JARVIS_TRAIN_DTYPE (float32|bfloat16)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import optax
+
+    from jarvis_hybridnet_tpu.config import ProjectManager
+    from jarvis_hybridnet_tpu.dataset.dataset2d import Dataset2D
+    from jarvis_hybridnet_tpu.dataset.loader import DataLoader, maybe_preload
+    from jarvis_hybridnet_tpu.models.efficienttrack import (
+        EfficientTrackBackbone,
+    )
+    from jarvis_hybridnet_tpu.ops.heatmap import (
+        argmax_2d,
+        gaussian_heatmaps_on_device,
+    )
+    from jarvis_hybridnet_tpu.training import checkpoints
+    from jarvis_hybridnet_tpu.training.trainer2d import heatmap_loss
+
+    mode = os.environ.get("JARVIS_TRAIN2D_MODE", "KeypointDetect")
+    assert mode in ("CenterDetect", "KeypointDetect"), mode
+    pm = ProjectManager(parent_dir="/root/reference")
+    assert pm.load("Example_Project")
+    cfg = pm.get_cfg()
+    sub = cfg[mode.upper()]
+    B = int(os.environ.get("JARVIS_TRAIN_BENCH_B", str(sub.BATCH_SIZE)))
+    workers = int(cfg.get("DATALOADER_NUM_WORKERS", 4))
+    worker_mode = os.environ.get(
+        "JARVIS_TRAIN_WORKER_MODE",
+        str(cfg.get("DATALOADER_WORKER_MODE", "thread")))
+    train_dtype = os.environ.get(
+        "JARVIS_TRAIN_DTYPE",
+        str(cfg.get("TPU", {}).get("TRAIN_DTYPE", "float32")))
+
+    import time as _t
+
+    ds = Dataset2D(cfg, set="train", mode=mode, device_targets=True)
+    t0 = _t.perf_counter()
+    maybe_preload(cfg, ds, None)  # production trainer preloads (trainer2d)
+    preload_s = _t.perf_counter() - t0
+    loader = DataLoader(ds, batch_size=B, shuffle=True, drop_last=True,
+                        num_workers=workers, worker_mode=worker_mode)
+
+    # host-only rate (post-preload: augmentation + collate is the cost)
+    n_host, t0 = 0, _t.perf_counter()
+    first = None
+    for imgs, kps in loader:
+        if first is None:
+            first = (np.asarray(imgs), np.asarray(kps))
+        n_host += B
+        if n_host >= 64:
+            break
+    host_rate = n_host / (_t.perf_counter() - t0)
+
+    size = int(sub.IMAGE_SIZE if mode == "CenterDetect"
+               else cfg.KEYPOINTDETECT.BOUNDING_BOX_SIZE)
+    model = EfficientTrackBackbone(
+        model_size=sub.MODEL_SIZE,
+        output_channels=int(sub.NUM_JOINTS),
+        dtype=jnp.bfloat16 if train_dtype == "bfloat16" else jnp.float32,
+    )
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, size, size, 3), jnp.float32))["params"]
+    pre = ("EfficientTrack_Center-small.pth" if mode == "CenterDetect"
+           else "EfficientTrack_Keypoints-small.pth")
+    params = checkpoints.load_efficienttrack_params(
+        cfg, mode, f"/root/reference/pretrained/MonkeyHand/{pre}",
+        init_params=params)
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(params)
+
+    sig = 1.0 if mode == "CenterDetect" else 1.5
+    mean = jnp.asarray(cfg.DATASET.MEAN, jnp.float32)
+    std = jnp.asarray(cfg.DATASET.STD, jnp.float32)
+
+    @jax.jit
+    def step(params, opt_state, rng, imgs, kps):
+        # identical math to trainer2d._build_steps' train_step
+        x = imgs.astype(jnp.float32) / 255.0
+        x = (x - mean) / std
+        kxy = kps.reshape(kps.shape[0], -1, 3)[..., :2]
+        t4 = gaussian_heatmaps_on_device(kxy, size, size // 4,
+                                         sig * (size // 4) / 64)
+        t2 = gaussian_heatmaps_on_device(kxy, size, size // 2,
+                                         sig * (size // 2) / 64)
+
+        def loss_fn(p):
+            outputs = model.apply({"params": p}, x, deterministic=False,
+                                  rngs={"dropout": rng})
+            return heatmap_loss(outputs, (t4, t2)), outputs[1]
+
+        (loss, hm2), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        xy, _ = argmax_2d(hm2)
+        return params, opt_state, loss, xy
+
+    rng = jax.random.PRNGKey(0)
+    dev_a = jax.device_put(first)
+    alt = (np.roll(first[0], 1, axis=2).copy(), first[1])
+    dev_b = jax.device_put(alt)
+    params, opt_state, loss, _xy = step(params, opt_state, rng, *dev_a)
+    _ = float(loss)
+    iters = 20
+    t0 = _t.perf_counter()
+    for i in range(iters):
+        params, opt_state, loss, _xy = step(
+            params, opt_state, rng, *(dev_a if i % 2 == 0 else dev_b))
+    _ = float(loss)
+    dev_rate = iters * B / (_t.perf_counter() - t0)
+
+    # overlapped end-to-end (the trainer's actual loop shape: host aug
+    # feeds the step; argmax coords come back each step for the px meter)
+    n, t0 = 0, _t.perf_counter()
+    for imgs, kps in loader:
+        params, opt_state, loss, xy = step(
+            params, opt_state, rng, np.asarray(imgs), np.asarray(kps))
+        np.asarray(xy)  # px-accuracy readback, as in the trainer
+        n += B
+        if n >= 64:
+            break
+    _ = float(loss)
+    e2e_rate = n / (_t.perf_counter() - t0)
+
+    print(f"train2d stage table ({mode}, samples/s, batch={B}, "
+          f"dtype={train_dtype}, workers={workers}/{worker_mode}, "
+          f"preload {preload_s:.1f}s): host-only {host_rate:.2f}, "
+          f"device-only {dev_rate:.2f}, end-to-end {e2e_rate:.2f} "
+          f"({'host' if host_rate < dev_rate else 'device'}-bound)",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": f"efficienttrack {mode} train samples/sec (end-to-end)",
+        "value": round(e2e_rate, 3),
+        "unit": "samples/s",
+        "dtype": train_dtype,
+        "host_only": round(host_rate, 2),
+        "device_only": round(dev_rate, 2),
+        "preload_s": round(preload_s, 1),
+        "vs_baseline": None,
+    }))
+
+
 def main_transfer(n_frames=None):
     """Transfer-overlap ceiling for the two-phase streaming path
     (VERDICT r3 #7): the exact two-phase loop — native decode, lowres
@@ -881,6 +1040,8 @@ if __name__ == "__main__":
         sys.exit(main_decode())
     if "--fidelity" in sys.argv:
         sys.exit(main_fidelity())
+    if "--train2d" in sys.argv:
+        sys.exit(main_train2d())
     if "--train" in sys.argv:
         sys.exit(main_train())
     # the tunneled remote compiler occasionally fails transiently; one
