@@ -832,19 +832,33 @@ def main_train2d():
 
     import time as _t
 
-    ds = Dataset2D(cfg, set="train", mode=mode, device_targets=True)
+    # production contract (trainer2d.train): under TPU.DEVICE_AUG the
+    # train split ships raw uint8 + per-sample color params + the affine
+    # inverse and the color pass runs in the jitted step (ops/augment.py);
+    # JARVIS_DEVICE_AUG=0 measures the host-color path for comparison
+    device_aug = (bool(cfg.TPU.DEVICE_AUG)
+                  and bool(cfg.AUGMENTATION.COLOR_MANIPULATION.ENABLED)
+                  and os.environ.get("JARVIS_DEVICE_AUG", "1") != "0")
+    ds = Dataset2D(cfg, set="train", mode=mode, device_targets=True,
+                   device_aug=device_aug)
     t0 = _t.perf_counter()
     maybe_preload(cfg, ds, None)  # production trainer preloads (trainer2d)
     preload_s = _t.perf_counter() - t0
     loader = DataLoader(ds, batch_size=B, shuffle=True, drop_last=True,
                         num_workers=workers, worker_mode=worker_mode)
 
+    def to_batch(b):
+        if device_aug:
+            return (np.asarray(b[0]), np.asarray(b[1]),
+                    {k: np.asarray(v) for k, v in b[2].items()})
+        return (np.asarray(b[0]), np.asarray(b[1]))
+
     # host-only rate (post-preload: augmentation + collate is the cost)
     n_host, t0 = 0, _t.perf_counter()
     first = None
-    for imgs, kps in loader:
+    for b in loader:
         if first is None:
-            first = (np.asarray(imgs), np.asarray(kps))
+            first = to_batch(b)
         n_host += B
         if n_host >= 64:
             break
@@ -871,11 +885,21 @@ def main_train2d():
     sig = 1.0 if mode == "CenterDetect" else 1.5
     mean = jnp.asarray(cfg.DATASET.MEAN, jnp.float32)
     std = jnp.asarray(cfg.DATASET.STD, jnp.float32)
+    if device_aug:
+        from jarvis_hybridnet_tpu.ops.augment import (
+            make_border_zero,
+            make_color_aug,
+        )
+
+        color_aug = make_color_aug(cfg.AUGMENTATION)
+        border_zero = make_border_zero()
 
     @jax.jit
-    def step(params, opt_state, rng, imgs, kps):
+    def step(params, opt_state, rng, imgs, kps, aug=None):
         # identical math to trainer2d._build_steps' train_step
         x = imgs.astype(jnp.float32) / 255.0
+        if aug is not None:
+            x = border_zero(color_aug(x, aug), aug["minv"])
         x = (x - mean) / std
         kxy = kps.reshape(kps.shape[0], -1, 3)[..., :2]
         t4 = gaussian_heatmaps_on_device(kxy, size, size // 4,
@@ -897,7 +921,7 @@ def main_train2d():
 
     rng = jax.random.PRNGKey(0)
     dev_a = jax.device_put(first)
-    alt = (np.roll(first[0], 1, axis=2).copy(), first[1])
+    alt = (np.roll(first[0], 1, axis=2).copy(),) + first[1:]
     dev_b = jax.device_put(alt)
     params, opt_state, loss, _xy = step(params, opt_state, rng, *dev_a)
     _ = float(loss)
@@ -912,9 +936,9 @@ def main_train2d():
     # overlapped end-to-end (the trainer's actual loop shape: host aug
     # feeds the step; argmax coords come back each step for the px meter)
     n, t0 = 0, _t.perf_counter()
-    for imgs, kps in loader:
+    for b in loader:
         params, opt_state, loss, xy = step(
-            params, opt_state, rng, np.asarray(imgs), np.asarray(kps))
+            params, opt_state, rng, *to_batch(b))
         np.asarray(xy)  # px-accuracy readback, as in the trainer
         n += B
         if n >= 64:
@@ -923,7 +947,8 @@ def main_train2d():
     e2e_rate = n / (_t.perf_counter() - t0)
 
     print(f"train2d stage table ({mode}, samples/s, batch={B}, "
-          f"dtype={train_dtype}, workers={workers}/{worker_mode}, "
+          f"dtype={train_dtype}, device_aug={device_aug}, "
+          f"workers={workers}/{worker_mode}, "
           f"preload {preload_s:.1f}s): host-only {host_rate:.2f}, "
           f"device-only {dev_rate:.2f}, end-to-end {e2e_rate:.2f} "
           f"({'host' if host_rate < dev_rate else 'device'}-bound)",
@@ -933,6 +958,7 @@ def main_train2d():
         "value": round(e2e_rate, 3),
         "unit": "samples/s",
         "dtype": train_dtype,
+        "device_aug": device_aug,
         "host_only": round(host_rate, 2),
         "device_only": round(dev_rate, 2),
         "preload_s": round(preload_s, 1),

@@ -57,13 +57,18 @@ class AugmentationPipeline:
             img = img * factors.astype(np.float32)
         return np.clip(img, 0.0, 1.0).astype(np.float32)
 
-    def __call__(
+    def geometric(
         self, img: np.ndarray, keypoints: np.ndarray | None = None
-    ) -> tuple[np.ndarray, np.ndarray | None]:
-        """keypoints: (J, 2) or None; returns transformed copies."""
-        img = self._color(img)
+    ) -> tuple[np.ndarray, np.ndarray | None, np.ndarray]:
+        """Mirror + affine only (the keypoint-moving half of the
+        pipeline). Returns ``(img, kps, minv)`` where ``minv`` is the
+        float32 (2, 3) *inverse* map of the applied affine (dst px →
+        src px; identity when the affine did not trigger) — the record
+        the on-device color path (``ops/augment.py``) needs to re-zero
+        the warp's out-of-frame border after device-side color ops."""
         kps = None if keypoints is None else keypoints.astype(np.float32).copy()
         h, w = img.shape[:2]
+        minv = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float32)
 
         if self.mirror and self.rng.random() < self.cfg.MIRROR.PROBABILITY:
             img = img[:, ::-1].copy()
@@ -77,6 +82,7 @@ class AugmentationPipeline:
             scale = self.rng.uniform(*at.SCALE_RANGE)
             M = cv2.getRotationMatrix2D((w / 2.0, h / 2.0), -angle, scale)
             img = cv2.warpAffine(img, M, (w, h), flags=cv2.INTER_LINEAR)
+            minv = cv2.invertAffineTransform(M).astype(np.float32)
             if kps is not None:
                 labeled = np.any(kps != 0, axis=1)
                 hom = np.concatenate(
@@ -84,4 +90,17 @@ class AugmentationPipeline:
                 )
                 moved = hom @ M.T
                 kps[labeled] = moved[labeled].astype(np.float32)
+        return img, kps, minv
+
+    def __call__(
+        self, img: np.ndarray, keypoints: np.ndarray | None = None
+    ) -> tuple[np.ndarray, np.ndarray | None]:
+        """keypoints: (J, 2) or None; returns transformed copies.
+
+        Full host pipeline in the reference's op order (color first, then
+        mirror, then affine — reference dataset2D.py:97-126,
+        ``random_order=False``). The RNG draw sequence is unchanged by
+        the ``geometric`` split above."""
+        img = self._color(img)
+        img, kps, _ = self.geometric(img, keypoints)
         return img, kps

@@ -47,10 +47,19 @@ def _to_uint8(img: np.ndarray) -> np.ndarray:
 
 class Dataset2D(BaseDataset):
     def __init__(self, cfg, set="train", mode="CenterDetect",
-                 skip_assert=False, device_targets=False, **kwargs):
+                 skip_assert=False, device_targets=False, device_aug=False,
+                 **kwargs):
         super().__init__(cfg, cfg.DATASET.DATASET_2D, set, **kwargs)
         self.mode = mode
         self.device_targets = device_targets
+        # trainer sets this (TPU.DEVICE_AUG, like dataset3d): train
+        # samples then skip the host color pass — 2.4 ms of the 2.8 ms
+        # post-preload sample build (BASELINE.md "2D-stage training") —
+        # and instead carry a per-sample parameter record + the affine's
+        # inverse map; the pixel work runs in the jitted step
+        # (ops/augment.py). The mirror/affine half stays on the host
+        # (0.5 ms; a device-side warp would be gather-descriptor-bound).
+        self.device_aug = device_aug
         if not skip_assert:
             assert cfg.KEYPOINTDETECT.BOUNDING_BOX_SIZE % 64 == 0, (
                 "Bounding Box size has to be divisible by 64!"
@@ -72,6 +81,23 @@ class Dataset2D(BaseDataset):
         if self.mode == "CenterDetect":
             return self._get_item_center(idx)
         return self._get_item_keypoints(idx)
+
+    def _use_device_aug(self) -> bool:
+        """Color pipeline runs in the jitted step for this sample."""
+        return (self.device_targets and self.device_aug
+                and self.set_name == "train"
+                and bool(self.cfg.AUGMENTATION.COLOR_MANIPULATION.ENABLED))
+
+    def _sample_aug_record(self) -> dict:
+        """Per-sample device-aug parameters (squeezed to scalar leaves so
+        the collated batch has plain (B, ...) leading shapes). Drawn from
+        ``augpipe.rng`` — the loader's absolute-epoch stream — so
+        preemption-replay determinism matches the host pipeline's."""
+        from ..ops.augment import sample_color_params
+
+        p = sample_color_params(
+            self.cfg.AUGMENTATION.COLOR_MANIPULATION, self.augpipe.rng, 1)
+        return {k: v[0] for k, v in p.items()}
 
     # -- in-memory decoded-sample cache ----------------------------------
     #
@@ -152,8 +178,14 @@ class Dataset2D(BaseDataset):
         # pre-aug (-1, -1) encodes "no subject in frame" (negative sample)
         has_subject = bool(center[0] >= 0)
 
+        aug_rec = None
         if self.set_name == "train":
-            img, kps = self.augpipe(img, center[None])
+            if self._use_device_aug():
+                aug_rec = self._sample_aug_record()
+                img, kps, aug_rec["minv"] = self.augpipe.geometric(
+                    img, center[None])
+            else:
+                img, kps = self.augpipe(img, center[None])
             center = kps[0]
         if not has_subject:
             # downstream contract stays (0, 0): target rendering and the
@@ -163,6 +195,8 @@ class Dataset2D(BaseDataset):
 
         keypoints = np.concatenate([center, [1.0]])[None].astype(np.float32)
         if self.device_targets:
+            if aug_rec is not None:
+                return _to_uint8(img), keypoints, aug_rec
             return _to_uint8(img), keypoints
 
         targets = []
@@ -206,8 +240,14 @@ class Dataset2D(BaseDataset):
         else:
             img, kps = self._base_keypoints(idx)
 
+        aug_rec = None
         if self.set_name == "train":
-            img, moved = self.augpipe(img, kps[:, :2])
+            if self._use_device_aug():
+                aug_rec = self._sample_aug_record()
+                img, moved, aug_rec["minv"] = self.augpipe.geometric(
+                    img, kps[:, :2])
+            else:
+                img, moved = self.augpipe(img, kps[:, :2])
             kps[:, :2] = moved
 
         # zero out keypoints outside the crop (dataset2D.py:199-207)
@@ -218,6 +258,8 @@ class Dataset2D(BaseDataset):
         kps[outside, :2] = 0
 
         if self.device_targets:
+            if aug_rec is not None:
+                return _to_uint8(img), kps.reshape(1, -1), aug_rec
             return _to_uint8(img), kps.reshape(1, -1)
 
         targets = []

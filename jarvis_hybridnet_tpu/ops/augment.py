@@ -89,6 +89,44 @@ def sample_color_params(cm_cfg, rng, n: int) -> dict:
     }
 
 
+def make_border_zero():
+    """Build the jittable warp-border re-zero closure (2D device aug).
+
+    The 2D train path warps on the host (cv2.warpAffine, BORDER_CONSTANT
+    0) *before* the on-device color ops; contrast/gain would lift the
+    warp's black out-of-frame border to a nonzero flat value, so after
+    color the step re-zeroes every output pixel whose inverse-mapped
+    source center falls outside the frame. ``apply(x, minv)`` takes
+    ``x`` of shape ``lead + (H, W, 3)`` and ``minv`` of shape
+    ``lead + (2, 3)`` — the dst→src affine recorded by
+    ``dataset/augmentation.py::AugmentationPipeline.geometric``
+    (identity rows when no affine triggered → no-op mask). The zeroed
+    band is ≤1 px wider than cv2's exact partial-support falloff (pixels
+    with partial out-of-frame bilinear support are fully zeroed here);
+    the band is already an interpolation artifact, and the pinned
+    host==device contract in tests/test_augmentation.py includes this
+    mask."""
+    import jax.numpy as jnp
+
+    def apply(x, minv):
+        h, w = x.shape[-3], x.shape[-2]
+        xo = jnp.arange(w, dtype=jnp.float32)[None, :]
+        yo = jnp.arange(h, dtype=jnp.float32)[:, None]
+        a = minv[..., 0, 0][..., None, None]
+        b = minv[..., 0, 1][..., None, None]
+        c = minv[..., 0, 2][..., None, None]
+        d = minv[..., 1, 0][..., None, None]
+        e = minv[..., 1, 1][..., None, None]
+        f = minv[..., 1, 2][..., None, None]
+        sx = a * xo + b * yo + c
+        sy = d * xo + e * yo + f
+        inside = ((sx >= 0.0) & (sx <= w - 1.0)
+                  & (sy >= 0.0) & (sy <= h - 1.0))
+        return x * inside[..., None].astype(x.dtype)
+
+    return apply
+
+
 def _sep_blur(x, taps, radius: int):
     """Separable blur with per-image taps, BORDER_REFLECT_101 edges.
 

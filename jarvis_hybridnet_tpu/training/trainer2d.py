@@ -95,8 +95,19 @@ class EfficientTrackTrainer:
         if loaded is not None:
             self.params = loaded
 
+    def _device_aug(self) -> bool:
+        """True when the color pipeline runs inside the jitted train step
+        (TPU.DEVICE_AUG, ops/augment.py) — the host then does only the
+        keypoint-moving mirror/affine half (0.5 ms) and ships raw uint8
+        plus a per-sample parameter record, instead of the 2.4 ms
+        GIL-held numpy/cv2 color pass that dominates the post-preload 2D
+        sample build (BASELINE.md "2D-stage training throughput")."""
+        return (bool(self.main_cfg.get("TPU", {}).get("DEVICE_AUG", True))
+                and bool(self.main_cfg.AUGMENTATION
+                         .COLOR_MANIPULATION.ENABLED))
+
     # -- jitted steps -----------------------------------------------------
-    def _build_steps(self, tx, mesh=None):
+    def _build_steps(self, tx, mesh=None, device_aug=False):
         """Fresh jitted step closures per train() call — jitting methods
         with a static ``self`` would cache the first optimizer/trace across
         reconfigured runs.
@@ -120,10 +131,20 @@ class EfficientTrackTrainer:
         sig = 1.0 if self.mode == "CenterDetect" else 1.5
         mean = jnp.asarray(self.main_cfg.DATASET.MEAN, jnp.float32)
         std = jnp.asarray(self.main_cfg.DATASET.STD, jnp.float32)
+        if device_aug:
+            from ..ops.augment import make_border_zero, make_color_aug
 
-        def prepare(imgs, kps):
+            color_aug = make_color_aug(self.main_cfg.AUGMENTATION)
+            border_zero = make_border_zero()
+
+        def prepare(imgs, kps, aug=None):
             # imgs uint8 (B, S, S, 3); kps float32 (B, 1, J*3) [x, y, vis]
             x = imgs.astype(jnp.float32) / 255.0
+            if aug is not None:
+                # on-device color aug after the host's mirror/affine; the
+                # mask restores the warp's black out-of-frame border that
+                # contrast/gain would otherwise lift (ops/augment.py)
+                x = border_zero(color_aug(x, aug), aug["minv"])
             x = (x - mean) / std
             kxy = kps.reshape(kps.shape[0], -1, 3)[..., :2]
             t4 = gaussian_heatmaps_on_device(kxy, size, size // 4,
@@ -137,9 +158,12 @@ class EfficientTrackTrainer:
 
             repl = NamedSharding(mesh, P())
             data = NamedSharding(mesh, P("data"))
+            train_in = (repl, repl, repl, repl, data, data)
+            if device_aug:
+                train_in = train_in + (data,)  # aug pytree: every leaf (B, ...)
             train_jit = lambda f: jax.jit(  # noqa: E731
                 f,
-                in_shardings=(repl, repl, repl, repl, data, data),
+                in_shardings=train_in,
                 out_shardings=(repl, repl, repl, data),
             )
             eval_jit = lambda f: jax.jit(  # noqa: E731
@@ -150,9 +174,9 @@ class EfficientTrackTrainer:
         else:
             train_jit = eval_jit = jax.jit
 
-        @train_jit
-        def train_step(params, opt_state, lr_scale, rng, imgs, kps):
-            x, t4, t2 = prepare(imgs, kps)
+        def _train_step(params, opt_state, lr_scale, rng, imgs, kps,
+                        aug=None):
+            x, t4, t2 = prepare(imgs, kps, aug)
 
             def loss_fn(p):
                 outputs = model.apply(
@@ -168,6 +192,14 @@ class EfficientTrackTrainer:
             params = optax.apply_updates(params, updates)
             xy, _ = argmax_2d(hm2)
             return params, opt_state, loss, xy
+
+        # fixed-arity jitted signatures (shardings are per-positional)
+        if device_aug:
+            train_step = train_jit(_train_step)
+        else:
+            train_step = train_jit(
+                lambda params, opt_state, lr_scale, rng, imgs, kps:
+                _train_step(params, opt_state, lr_scale, rng, imgs, kps))
 
         @eval_jit
         def eval_step(params, imgs, kps):
@@ -188,9 +220,14 @@ class EfficientTrackTrainer:
         from ..parallel.multihost import local_np, make_dp_loaders
 
         # thin host↔device contract: raw uint8 images + keypoints only,
-        # targets rendered on device (see _build_steps)
+        # targets rendered on device (see _build_steps); with
+        # TPU.DEVICE_AUG the train split also skips the host color pass
+        # and ships per-sample aug parameters instead (ops/augment.py)
         training_set.device_targets = True
         validation_set.device_targets = True
+        device_aug = (self._device_aug()
+                      and training_set.set_name == "train")
+        training_set.device_aug = device_aug
         from ..dataset.loader import maybe_preload
 
         maybe_preload(self.main_cfg, training_set, validation_set)
@@ -214,7 +251,8 @@ class EfficientTrackTrainer:
                 cfg.OPTIMIZER, float(cfg.MAX_LEARNING_RATE)
             )
             plateau = optim.PlateauScheduler(float(cfg.MAX_LEARNING_RATE))
-        train_step, eval_step = self._build_steps(self.tx, mesh)
+        train_step, eval_step = self._build_steps(
+            self.tx, mesh, device_aug=device_aug)
         opt_state = self.tx.init(self.params)
         if resume_from is not None:
             # full-state resume (params + optimizer + epoch) — new
@@ -253,12 +291,19 @@ class EfficientTrackTrainer:
                 # so preemption resumes never replay early epochs' orders
                 train_loader.set_epoch(epoch)
                 bar = tqdm(train_loader, total=steps_per_epoch)
-                for count, (imgs, keypoints) in enumerate(bar):
+                for count, b in enumerate(bar):
+                    imgs, keypoints = b[0], b[1]
                     rng, sub = jax.random.split(rng)
-                    self.params, opt_state, loss, preds = train_step(
-                        self.params, opt_state, lr_scale, sub, imgs,
-                        keypoints,
-                    )
+                    if device_aug:  # b[2]: per-sample aug record
+                        self.params, opt_state, loss, preds = train_step(
+                            self.params, opt_state, lr_scale, sub, imgs,
+                            keypoints, b[2],
+                        )
+                    else:
+                        self.params, opt_state, loss, preds = train_step(
+                            self.params, opt_state, lr_scale, sub, imgs,
+                            keypoints,
+                        )
                     step += 1
                     if guard.should_stop_global(stride=POD_POLL_STRIDE):
                         self._save_preempted(opt_state, epoch)

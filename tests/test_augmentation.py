@@ -147,6 +147,92 @@ def test_device_color_aug_disabled_passthrough():
     np.testing.assert_array_equal(np.asarray(out)[0], img)
 
 
+def test_device_aug_2d_full_pipeline_matches_host_order_variant():
+    """The 2D device-aug contract, pinned end to end: host mirror/affine
+    (AugmentationPipeline.geometric) -> device color (make_color_aug) ->
+    device border re-zero (make_border_zero) equals the same ops run
+    entirely on the host in that order. This is the exact pipeline
+    trainer2d's jitted step executes under TPU.DEVICE_AUG; the op-order
+    deviation vs the all-host path (color first, reference
+    dataset2D.py:97-126) is intentional and documented in PARITY.md."""
+    import jax.numpy as jnp
+
+    from jarvis_hybridnet_tpu.ops.augment import make_border_zero
+
+    cfg = _pinned_color_cfg(0.5)
+    cfg.MIRROR.PROBABILITY = 1.0
+    cfg.AFFINE_TRANSFORM.PROBABILITY = 1.0
+    cfg.AFFINE_TRANSFORM.ROTATION_RANGE = [11.0, 11.0]
+    cfg.AFFINE_TRANSFORM.SCALE_RANGE = [1.06, 1.06]
+
+    img = np.random.default_rng(4).random((64, 64, 3)).astype(np.float32)
+    kps = np.array([[10.0, 20.0], [40.0, 50.0]], np.float32)
+    pipe = AugmentationPipeline(cfg, mirror=True, affine=True, seed=0)
+    warped, moved, minv = pipe.geometric(img, kps)
+    assert not np.allclose(minv, np.eye(2, 3))  # affine actually fired
+
+    # host-order-variant reference: color on the warped image, then the
+    # same outside-frame mask the device applies
+    host_color = AugmentationPipeline(cfg, mirror=False, affine=False,
+                                      seed=0)._color(warped)
+    ys, xs = np.mgrid[0:64, 0:64].astype(np.float32)
+    sx = minv[0, 0] * xs + minv[0, 1] * ys + minv[0, 2]
+    sy = minv[1, 0] * xs + minv[1, 1] * ys + minv[1, 2]
+    inside = (sx >= 0) & (sx <= 63) & (sy >= 0) & (sy <= 63)
+    host_ref = host_color * inside[..., None]
+
+    params = sample_color_params(cfg.COLOR_MANIPULATION,
+                                 np.random.default_rng(1), 1)
+    apply = make_color_aug(cfg)
+    border = make_border_zero()
+    dev = border(
+        apply(jnp.asarray(warped)[None],
+              {k: jnp.asarray(v) for k, v in params.items()}),
+        jnp.asarray(minv)[None])
+    np.testing.assert_allclose(np.asarray(dev)[0], host_ref, atol=2e-4)
+
+
+def test_border_zero_identity_is_noop():
+    import jax.numpy as jnp
+
+    from jarvis_hybridnet_tpu.ops.augment import make_border_zero
+
+    border = make_border_zero()
+    img = np.random.default_rng(2).random((2, 32, 48, 3)).astype(np.float32)
+    ident = np.tile(np.eye(2, 3, dtype=np.float32), (2, 1, 1))
+    out = np.asarray(border(jnp.asarray(img), jnp.asarray(ident)))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_dataset2d_device_aug_sample_structure():
+    """Train samples under device_aug carry (uint8 img, kps, record) with
+    the full parameter pytree + the affine inverse; the val split and the
+    device_aug=False path keep the 2-tuple contract."""
+    from jarvis_hybridnet_tpu.config import ProjectManager
+    from jarvis_hybridnet_tpu.dataset.dataset2d import Dataset2D
+
+    pm = ProjectManager(parent_dir="/root/reference")
+    assert pm.load("Example_Project")
+    cfg = pm.get_cfg()
+    ds = Dataset2D(cfg, set="train", mode="KeypointDetect",
+                   device_targets=True, device_aug=True)
+    s = ds[0]
+    assert len(s) == 3
+    img, kps, rec = s
+    assert img.dtype == np.uint8
+    assert set(rec) == set(PARAM_KEYS) | {"minv"}
+    assert rec["minv"].shape == (2, 3)
+    for k in PARAM_KEYS:  # squeezed per-sample leaves -> (B, ...) batches
+        assert np.ndim(rec[k]) in (0, 1), (k, np.shape(rec[k]))
+
+    val = Dataset2D(cfg, set="val", mode="KeypointDetect",
+                    device_targets=True, device_aug=True)
+    assert len(val[0]) == 2  # no aug on val regardless of the flag
+    plain = Dataset2D(cfg, set="train", mode="KeypointDetect",
+                      device_targets=True)
+    assert len(plain[0]) == 2
+
+
 def test_affine_rotates_keypoints_with_image():
     import cv2
 

@@ -216,6 +216,44 @@ def test_trainer3d_device_aug_train_path(project, monkeypatch):
     assert h["train_loss"][-1] < h["train_loss"][0], h["train_loss"]
 
 
+def test_trainer2d_device_aug_train_path(project):
+    """TPU.DEVICE_AUG end-to-end through the production
+    EfficientTrackTrainer.train on a real train split: the loader ships
+    raw uint8 + per-sample color params + the affine inverse, and the
+    jitted step applies ops/augment.py's color pipeline + border
+    re-zero. Assertions: path active, finite metrics, loss decreases on
+    an overfit micro-run."""
+    from jarvis_hybridnet_tpu.dataset.dataset2d import Dataset2D
+    from jarvis_hybridnet_tpu.training.trainer2d import EfficientTrackTrainer
+
+    cfg = project.get_cfg()
+    cfg.KEYPOINTDETECT.BOUNDING_BOX_SIZE = 128
+    cfg.KEYPOINTDETECT.BATCH_SIZE = 2
+    cfg.KEYPOINTDETECT.USE_ONECYLCLE = False
+    cfg.KEYPOINTDETECT.MAX_LEARNING_RATE = 1e-3
+    cfg.KEYPOINTDETECT.VAL_INTERVAL = 100  # assertions read train metrics
+    cfg.DATALOADER_NUM_WORKERS = 0  # serial: the seeded augpipe below
+    # governs every draw, making the loss trajectory deterministic
+    assert bool(cfg.TPU.DEVICE_AUG)  # the production default under test
+
+    ds = Dataset2D(cfg, set="train", mode="KeypointDetect")
+    ds.image_ids = ds.image_ids[:4]
+    from jarvis_hybridnet_tpu.dataset.augmentation import AugmentationPipeline
+
+    ds.augpipe = AugmentationPipeline(cfg.AUGMENTATION, mirror=True, seed=11)
+    val = Dataset2D(cfg, set="val", mode="KeypointDetect")
+    val.image_ids = val.image_ids[:2]
+
+    trainer = EfficientTrackTrainer("KeypointDetect", cfg, weights=None,
+                                    run_name="DevAug2D")
+    results = trainer.train(ds, val, num_epochs=4)
+    assert ds.device_aug is True  # the path actually activated
+    assert len(ds[0]) == 3 and "minv" in ds[0][2]
+    h = results["history"]
+    assert np.isfinite(h["train_loss"]).all()
+    assert h["train_loss"][-1] < h["train_loss"][0], h["train_loss"]
+
+
 @pytest.mark.slow
 def test_trainer2d_resume(project):
     """Full-state resume: params + optimizer + epoch round-trip."""
@@ -278,6 +316,16 @@ def test_trainer2d_multichip_mesh(project):
     # single-device inference alike)
     leaf = jax.tree.leaves(trainer.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+    # second epoch on a real train split: TPU.DEVICE_AUG activates, so
+    # the mesh step's in_shardings gain the aug pytree ('data'-sharded
+    # per-sample leaves incl. the (B, 2, 3) affine inverse)
+    tr = Dataset2D(cfg, set="train", mode="CenterDetect")
+    tr.image_ids = tr.image_ids[:8]
+    results = trainer.train(tr, ds, num_epochs=1)
+    assert tr.device_aug is True
+    assert np.isfinite(results["train_loss"])
+    assert jax.tree.leaves(trainer.params)[0].sharding.is_fully_replicated
 
 
 @pytest.mark.slow
