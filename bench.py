@@ -934,16 +934,20 @@ def main_train2d():
     dev_rate = iters * B / (_t.perf_counter() - t0)
 
     # overlapped end-to-end (the trainer's actual loop shape: host aug
-    # feeds the step; argmax coords come back each step for the px meter)
+    # feeds the step; the px-meter readback is one step delayed like
+    # trainer2d.train, so the fetch overlaps the next device step)
     n, t0 = 0, _t.perf_counter()
+    pending = None
     for b in loader:
         params, opt_state, loss, xy = step(
             params, opt_state, rng, *to_batch(b))
-        np.asarray(xy)  # px-accuracy readback, as in the trainer
+        if pending is not None:
+            np.asarray(pending[0]), float(pending[1])
+        pending = (xy, loss)
         n += B
         if n >= 64:
             break
-    _ = float(loss)
+    np.asarray(pending[0]), float(pending[1])
     e2e_rate = n / (_t.perf_counter() - t0)
 
     print(f"train2d stage table ({mode}, samples/s, batch={B}, "

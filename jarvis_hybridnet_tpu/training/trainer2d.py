@@ -285,6 +285,24 @@ class EfficientTrackTrainer:
 
         step = 0
         guard = PreemptionGuard()
+
+        # One-step-delayed metric readback: fetching step k's (loss,
+        # argmax coords) blocks until the device finishes step k, so a
+        # same-iteration fetch serializes device compute with the host's
+        # metric work and the device-link round trip. Dispatching step
+        # k+1 FIRST and then consuming step k's pending metrics overlaps
+        # them — same meter totals (every step is consumed exactly once,
+        # flushed before any epoch-end reader), the progress bar just
+        # trails by one step.
+        pending = None  # (loss, preds, gt)
+
+        def consume(p):
+            loss, preds, gt = p
+            acc = accuracy_from_preds(local_np(preds), gt)
+            self.lossMeter.update(float(loss))
+            if acc != -1:
+                self.accuracyMeter.update(acc)
+
         with guard:
             for epoch in range(start_epoch, num_epochs):
                 # shuffle/augmentation streams follow the ABSOLUTE epoch,
@@ -306,15 +324,17 @@ class EfficientTrackTrainer:
                         )
                     step += 1
                     if guard.should_stop_global(stride=POD_POLL_STRIDE):
+                        if pending is not None:
+                            consume(pending)
+                            pending = None
                         self._save_preempted(opt_state, epoch)
                         results["preempted"] = True
                         return results
                     gt = local_np(keypoints).reshape(
                         -1, self.model.output_channels, 3)[:, :, :2]
-                    acc = accuracy_from_preds(local_np(preds), gt)
-                    self.lossMeter.update(float(loss))
-                    if acc != -1:
-                        self.accuracyMeter.update(acc)
+                    if pending is not None:
+                        consume(pending)
+                    pending = (loss, preds, gt)
                     bar.set_description(
                         "Epoch: {}/{}. Loss: {:.5f}. Acc: {:1.3f}".format(
                             epoch + 1, num_epochs, self.lossMeter.read(),
@@ -322,6 +342,9 @@ class EfficientTrackTrainer:
                     )
                     if streamlitWidgets is not None:
                         monitor.step(count, steps_per_epoch)
+                if pending is not None:  # flush before epoch-end readers
+                    consume(pending)
+                    pending = None
 
                 if plateau is not None:
                     new_lr = plateau.step(self.lossMeter.read())

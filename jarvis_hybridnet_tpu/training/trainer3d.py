@@ -283,6 +283,22 @@ class HybridNetTrainer:
             return out
 
         guard = PreemptionGuard()
+
+        # One-step-delayed metric readback (same scheme + rationale as
+        # trainer2d): dispatch step k+1 before blocking on step k's
+        # (loss, points3d), so the mm-accuracy fetch and host metric
+        # work overlap the device step instead of serializing with it.
+        # Totals are unchanged — every step consumed once, flushed
+        # before the plateau scheduler and epoch-end readers.
+        pending = None  # (loss, pts, gt_np)
+
+        def consume(p):
+            loss, pts, gt = p
+            acc = calculate_accuracy_mm(local_np(pts), gt)
+            self.lossMeter.update(float(loss))
+            if acc != -1:
+                self.accuracyMeter.update(acc)
+
         with guard:
             for epoch in range(start_epoch, num_epochs):
                 # shuffle/augmentation streams follow the ABSOLUTE epoch,
@@ -295,20 +311,25 @@ class HybridNetTrainer:
                         self.params, opt_state, lr_scale, sub, to_batch(b))
                     step += 1
                     if guard.should_stop_global(stride=POD_POLL_STRIDE):
+                        if pending is not None:
+                            consume(pending)
+                            pending = None
                         self._save_preempted(opt_state, epoch)
                         results["preempted"] = True
                         return results
-                    acc = calculate_accuracy_mm(
-                        local_np(pts), local_np(b["keypoints3D"]))
-                    self.lossMeter.update(float(loss))
-                    if acc != -1:
-                        self.accuracyMeter.update(acc)
+                    gt = local_np(b["keypoints3D"])
+                    if pending is not None:
+                        consume(pending)
+                    pending = (loss, pts, gt)
                     bar.set_description(
                         "Epoch: {}/{}. Loss: {:.4f}. Acc: {:.2f}".format(
                             epoch + 1, num_epochs, self.lossMeter.read(),
                             self.accuracyMeter.read()))
                     if streamlitWidgets is not None:
                         monitor.step(count, steps_per_epoch)
+                if pending is not None:  # flush before epoch-end readers
+                    consume(pending)
+                    pending = None
 
                 if plateau is not None:
                     lr_scale = plateau.step(self.lossMeter.read()) / float(
